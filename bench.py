@@ -1,0 +1,107 @@
+"""Benchmark: aggregated halo2 proof verification throughput on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the end-to-end aggregation verify rate (proofs/s) of the hybrid TPU
+path (host protocol replay + device Pippenger MSM), the headline metric from
+BASELINE.md (north star: >=128 proofs/s on a v5p-8, i.e. 32 proofs/s/chip;
+vs_baseline is measured against the per-chip target).
+
+Also times the raw MSM kernel; set BENCH_MSM=1 to report MSM points/s instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def bench_msm():
+    import jax
+
+    from halo2_snark_aggregator_tpu.ops import msm as msm_mod
+    from __graft_entry__ import _example_msm_inputs
+
+    n = int(os.environ.get("BENCH_MSM_SIZE", "65536"))
+    jpts, jscal = _example_msm_inputs(n)
+    fn = jax.jit(lambda p, s: msm_mod.msm(p, s, c=8))
+    out = fn(jpts, jscal)
+    jax.block_until_ready(out)  # compile
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        out = fn(jpts, jscal)
+        jax.block_until_ready(out)
+    dt = (time.time() - t0) / reps
+    pts_per_s = n / dt
+    return {
+        "metric": "bn254_msm_points_per_sec",
+        "value": round(pts_per_s, 1),
+        "unit": f"points/s (2^{n.bit_length()-1} MSM, 1 chip)",
+        "vs_baseline": round(pts_per_s / 1.0e6, 4),  # vs 1M pts/s working target
+    }
+
+
+def bench_aggregation():
+    from halo2_snark_aggregator_tpu.arith.tpu_value import make_tpu_chips
+    from halo2_snark_aggregator_tpu.circuits.simple import SimpleMulCircuit
+    from halo2_snark_aggregator_tpu.protocol import verify as pv
+    from halo2_snark_aggregator_tpu.protocol.transcript import PoseidonTranscriptRead
+    from halo2_snark_aggregator_tpu.prover.keygen import keygen
+    from halo2_snark_aggregator_tpu.prover.kzg import ParamsKZG
+    from halo2_snark_aggregator_tpu.prover.prove import create_proof
+    from halo2_snark_aggregator_tpu.transcript.host import PoseidonWrite
+
+    nproofs = int(os.environ.get("BENCH_NPROOFS", "8"))
+    k = SimpleMulCircuit.K
+    params = ParamsKZG.setup_cached(k)
+    circuit = SimpleMulCircuit(2, 3)
+    vk, pk = keygen(circuit, k, params)
+
+    proofs = []
+    for i in range(nproofs):
+        c = SimpleMulCircuit(2 + i, 3 + i)
+        proofs.append(
+            (create_proof(pk, params, [c], [c.instances()], PoseidonWrite(), seed=i),
+             c.instances())
+        )
+
+    def run_once():
+        ctx, nchip, schip, pchip = make_tpu_chips()
+        pdata = []
+        for proof_bytes, insts in proofs:
+            t = PoseidonTranscriptRead(proof_bytes, ctx, nchip)
+            pdata.append(pv.ProofData(instances=[insts], transcript=t, key="p"))
+        agg_t = PoseidonTranscriptRead(b"", ctx, nchip)
+        cp = pv.CircuitProof(name="bench", vk=vk, params=params, proofs=pdata)
+        *_, ok = pv.verify_aggregation_proofs_in_chip(
+            ctx, nchip, schip, pchip, [cp], agg_t
+        )
+        assert ok
+        return ok
+
+    run_once()  # warm (jit compile of the MSM kernel)
+    t0 = time.time()
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    for _ in range(reps):
+        run_once()
+    dt = (time.time() - t0) / reps
+    proofs_per_s = nproofs / dt
+    return {
+        "metric": "aggregated_proofs_verified_per_sec",
+        "value": round(proofs_per_s, 3),
+        "unit": f"proofs/s (batch {nproofs}, 1 chip, incl. pairing)",
+        "vs_baseline": round(proofs_per_s / 32.0, 4),  # 128/s on 4-chip v5p-8
+    }
+
+
+if __name__ == "__main__":
+    if os.environ.get("BENCH_MSM"):
+        result = bench_msm()
+    else:
+        result = bench_aggregation()
+    print(json.dumps(result))

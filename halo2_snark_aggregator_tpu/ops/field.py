@@ -96,15 +96,22 @@ def _conv_columns(a, b, out_cols: int):
     Returns uint32[..., out_cols] redundant columns t with t[k] < 2^21,
     representing sum_k t[k] * 2^(16k) == a * b.
     """
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
     prod = a[..., :, None] * b[..., None, :]  # (..., 16, 16) uint32, exact
     lo = prod & MASK
     hi = prod >> LIMB_BITS
     ncols = 2 * LIMBS  # 32 columns (31 diagonals + 1 for the hi shift)
-    z = jnp.zeros(a.shape[:-1] + (ncols,), dtype=jnp.uint32)
+    # Scatter-free diagonal accumulation: row i of lo lands at offset i, row i
+    # of hi at offset i+1. Static pads + a stacked sum compile much faster
+    # than scatter-adds and fuse well on the VPU.
+    rows = []
+    zpad = [(0, 0)] * (len(shape) - 1)
     for i in range(LIMBS):
-        # lo[i, j] lands in column i+j; hi[i, j] in column i+j+1
-        z = z.at[..., i : i + LIMBS].add(lo[..., i, :])
-        z = z.at[..., i + 1 : i + 1 + LIMBS].add(hi[..., i, :])
+        rows.append(jnp.pad(lo[..., i, :], zpad + [(i, ncols - LIMBS - i)]))
+        rows.append(jnp.pad(hi[..., i, :], zpad + [(i + 1, ncols - LIMBS - i - 1)]))
+    z = jnp.sum(jnp.stack(rows, axis=0), axis=0, dtype=jnp.uint32)
     return z[..., :out_cols]
 
 
@@ -120,9 +127,9 @@ def _carry(cols, out_limbs: int):
         t = col + carry
         return t >> LIMB_BITS, t & MASK
 
-    carry_out, limbs_t = jax.lax.scan(
-        step, jnp.zeros(cols.shape[:-1], dtype=jnp.uint32), cols_t
-    )
+    # init carry derived from the input so its shard_map varying-axes type
+    # matches the loop output (a fresh constant would be "unvarying")
+    carry_out, limbs_t = jax.lax.scan(step, cols[..., 0] & jnp.uint32(0), cols_t)
     limbs = jnp.moveaxis(limbs_t, 0, -1)
     if ncols < out_limbs:
         pad = [(0, 0)] * (limbs.ndim - 1) + [(0, out_limbs - ncols)]
@@ -143,9 +150,7 @@ def _sub_limbs(a, b):
         t = ai - bi - borrow  # uint32 wraparound
         return (t >> LIMB_BITS) & 1, t & MASK
 
-    borrow_out, d_t = jax.lax.scan(
-        step, jnp.zeros(a.shape[:-1], dtype=jnp.uint32), (a_t, b_t)
-    )
+    borrow_out, d_t = jax.lax.scan(step, a[..., 0] & jnp.uint32(0), (a_t, b_t))
     return jnp.moveaxis(d_t, 0, -1), borrow_out
 
 

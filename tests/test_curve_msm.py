@@ -1,0 +1,74 @@
+"""Differential tests: ops/curve.py + ops/msm.py vs the host oracle."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+
+from halo2_snark_aggregator_tpu.ff import bn254 as ff
+from halo2_snark_aggregator_tpu.ops import curve as cv
+from halo2_snark_aggregator_tpu.ops import field as fo
+from halo2_snark_aggregator_tpu.ops import msm as msm_mod
+
+
+def _rand_points(rng, n):
+    return [ff.g1_mul(ff.G1_GEN, rng.randrange(1, ff.R)) for _ in range(n)]
+
+
+def test_add_double_matches_oracle():
+    rng = random.Random(0)
+    pts_a = _rand_points(rng, 4)
+    pts_b = _rand_points(rng, 4)
+    a = cv.from_affine_ints(pts_a)
+    b = cv.from_affine_ints(pts_b)
+    got = cv.to_affine_ints(cv.add(a, b))
+    assert got == [ff.g1_add(x, y) for x, y in zip(pts_a, pts_b)]
+    got_dbl = cv.to_affine_ints(cv.double(a))
+    assert got_dbl == [ff.g1_double(x) for x in pts_a]
+
+
+def test_add_edge_cases():
+    rng = random.Random(1)
+    p = _rand_points(rng, 1)[0]
+    cases_a = [p, None, p, p]
+    cases_b = [None, p, ff.g1_neg(p), p]
+    a = cv.from_affine_ints(cases_a)
+    b = cv.from_affine_ints(cases_b)
+    got = cv.to_affine_ints(cv.add(a, b))
+    expected = [p, p, None, ff.g1_double(p)]
+    assert got == expected
+    assert np.asarray(cv.is_on_curve(a)).all()
+
+
+def test_scalar_mul():
+    rng = random.Random(2)
+    pts = _rand_points(rng, 3)
+    scalars = [rng.randrange(ff.R) for _ in range(3)]
+    p = cv.from_affine_ints(pts)
+    s = jnp.asarray(fo.ints_to_limbs(scalars))
+    got = cv.to_affine_ints(cv.scalar_mul(p, s))
+    assert got == [ff.g1_mul(pt, k) for pt, k in zip(pts, scalars)]
+
+
+def test_msm_small():
+    rng = random.Random(3)
+    n = 32
+    pts = _rand_points(rng, n)
+    scalars = [rng.randrange(ff.R) for _ in range(n)]
+    # include edge scalars
+    scalars[0] = 0
+    scalars[1] = 1
+    scalars[2] = ff.R - 1
+    expected = ff.g1_msm(pts, scalars)
+    got = msm_mod.msm_host(pts, scalars, c=8)
+    assert got == expected
+
+
+def test_msm_tiny_window():
+    rng = random.Random(4)
+    n = 10
+    pts = _rand_points(rng, n)
+    scalars = [rng.randrange(ff.R) for _ in range(n)]
+    expected = ff.g1_msm(pts, scalars)
+    got = msm_mod.msm_host(pts, scalars, c=4)
+    assert got == expected
