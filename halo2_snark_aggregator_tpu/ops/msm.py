@@ -132,10 +132,17 @@ def msm(points, scalars, c: int = 8):
 
 
 def msm_host(points_int, scalars_int, c: int = 8):
-    """Convenience host wrapper: int points/scalars -> int affine result."""
+    """Convenience host wrapper: int points/scalars -> int affine result.
+
+    Pads N to the next power of two (identity points, zero scalars) so the
+    jitted kernel compiles for a bounded set of shapes."""
     if not points_int:
         return None
-    pts = cv.from_affine_ints(points_int)
-    scal = jnp.asarray(fo.ints_to_limbs([s % fo.FR.modulus for s in scalars_int]))
-    out = msm(pts, scal, c=c)
+    n = len(points_int)
+    padded = 1 << max(3, (n - 1).bit_length())
+    pts = list(points_int) + [None] * (padded - n)
+    scals = [s % fo.FR.modulus for s in scalars_int] + [0] * (padded - n)
+    jpts = cv.from_affine_ints(pts)
+    jscal = jnp.asarray(fo.ints_to_limbs(scals))
+    out = msm(jpts, jscal, c=c)
     return cv.to_affine_ints(tuple(np.asarray(a)[None] for a in out))[0]
