@@ -1,0 +1,83 @@
+"""Radix-2 NTT over BN254 Fr on TPU (JAX).
+
+Vectorized iterative Cooley-Tukey: bit-reversal gather + log2(n) butterfly
+stages, each stage one batched Montgomery twiddle-mul + limb add/sub over the
+whole array. This is the witness-polynomial synthesis kernel for the
+TPU-accelerated prover (SURVEY §2.6: "radix-2 NTT with butterfly stages
+exchanged all-to-all across a multi-host pod slice" — the single-chip kernel
+here; the multi-host exchange lands with the distributed prover).
+
+Differentially tested against prover/domain.py (host-exact NTT).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ff.bn254 import R
+from ..prover.domain import omega_for_k
+from . import field as fo
+
+FR = fo.FR
+
+
+@functools.lru_cache(maxsize=32)
+def _plan(k: int, inverse: bool):
+    """Host-precomputed NTT plan: bit-reversal indices + per-stage Montgomery
+    twiddle tables (stage s has 2^s twiddles, broadcast across blocks)."""
+    n = 1 << k
+    omega = omega_for_k(k)
+    if inverse:
+        omega = pow(omega, -1, R)
+    bits = k
+    rev = np.zeros(n, dtype=np.int32)
+    for i in range(n):
+        rev[i] = int(format(i, f"0{bits}b")[::-1], 2) if bits else 0
+    twiddles = []
+    length = 2
+    while length <= n:
+        w_len = pow(omega, n // length, R)
+        half = length // 2
+        tw = np.zeros((half, fo.LIMBS), dtype=np.uint32)
+        w = 1
+        for j in range(half):
+            tw[j] = FR.to_mont_int(w)
+            w = w * w_len % R
+        twiddles.append(tw)
+        length <<= 1
+    n_inv = FR.to_mont_int(pow(n, -1, R)) if inverse else None
+    return rev, twiddles, n_inv
+
+
+@functools.partial(jax.jit, static_argnames=("k", "inverse"))
+def ntt(values, k: int, inverse: bool = False):
+    """values: uint32[n, 16] Montgomery Fr; returns same shape.
+
+    Forward: coefficients -> evaluations at omega^i (in-order).
+    Inverse: evaluations -> coefficients (includes the 1/n scale)."""
+    n = 1 << k
+    rev, twiddles, n_inv = _plan(k, inverse)
+    x = values[jnp.asarray(rev)]
+    for s, tw in enumerate(twiddles):
+        half = tw.shape[0]
+        length = 2 * half
+        blocks = n // length
+        x = x.reshape(blocks, length, fo.LIMBS)
+        u = x[:, :half]
+        v = fo.mont_mul(FR, x[:, half:], jnp.asarray(tw)[None])
+        x = jnp.concatenate([fo.add(FR, u, v), fo.sub(FR, u, v)], axis=1)
+    x = x.reshape(n, fo.LIMBS)
+    if inverse:
+        x = fo.mont_mul(FR, x, jnp.broadcast_to(jnp.asarray(n_inv), x.shape))
+    return x
+
+
+def ntt_host_ints(vals: list[int], k: int, inverse: bool = False) -> list[int]:
+    """Host ints in/out convenience wrapper (Montgomery conversion included)."""
+    mont = np.stack([FR.to_mont_int(v % R) for v in vals])
+    out = ntt(jnp.asarray(mont), k, inverse)
+    return [FR.from_mont_limbs(row) for row in np.asarray(out)]
