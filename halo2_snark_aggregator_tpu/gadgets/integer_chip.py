@@ -1,0 +1,346 @@
+"""Non-native ("wrong field") integer arithmetic in-circuit (reference B4).
+
+Emulates arithmetic mod W (e.g. BN254 Fq) over the native field Fr using
+NLIMBS limbs of `limb_bits` bits with redundant (overflowed) limb values and
+a lazily-maintained native companion (value mod r) — the same architecture as
+five/integer_chip.rs (LIMBS=4 x 68-bit limbs, native companion at 595-621,
+d*W+rem mul decomposition at 104-287, reduce at 483-581), with the soundness
+argument made explicit:
+
+  a*b - d*W - rem = 0 is enforced (1) mod r via the native companions and
+  (2) mod 2^(2*slice_bits*NSLICES... i.e. mod 2^(136*2) for the default
+  4-limb shape) via two limb-pair slice checks with signed, range-checked
+  carries; CRT over bounds |t| < 2^272 * r / 2 makes the identity exact.
+
+Parameters are explicit so gadget tests can instantiate a small W at small k
+while production uses BN254 Fq with 68/17 (the reference's constants).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..ff.bn254 import P as BN254_FQ, R
+from .base_gate import AssignedCell, BaseGate, Context, pair
+from .range_gate import RangeGate
+
+NLIMBS = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class WrongField:
+    modulus: int
+    limb_bits: int
+
+    @property
+    def w_ceil_bits(self) -> int:
+        return self.modulus.bit_length()
+
+    @property
+    def limb_mask(self) -> int:
+        return (1 << self.limb_bits) - 1
+
+    def to_limbs(self, v: int) -> list[int]:
+        return [(v >> (self.limb_bits * i)) & self.limb_mask for i in range(NLIMBS)]
+
+
+# production configuration: BN254 Fq over Fr, 4 x 68-bit limbs (17-bit lookups)
+FQ_OVER_FR = WrongField(modulus=BN254_FQ, limb_bits=68)
+
+
+@dataclasses.dataclass
+class AssignedInteger:
+    """limbs are base-gate cells whose values may exceed limb_bits by
+    `overflow` bits (redundant representation); `value` is the exact integer
+    sum(limb_i 2^(limb_bits*i)); `native` is value mod r in-circuit."""
+
+    limbs: list[AssignedCell]
+    native: AssignedCell
+    value: int
+    overflow: int  # extra bits beyond limb_bits any limb may carry
+
+
+class IntegerChip:
+    # reduce when redundancy exceeds this many extra bits (reference keeps an
+    # overflow counter with threshold 32 / limit 64, five/integer_chip.rs:21-25)
+    OVERFLOW_BITS_LIMIT = 8
+
+    def __init__(self, gate: BaseGate, rgate: RangeGate, field: WrongField):
+        self.gate = gate
+        self.rgate = rgate
+        self.f = field
+        lb = field.limb_bits
+        r_native = [pow(2, lb * i, R) for i in range(NLIMBS)]
+        self._limb_base = r_native
+        self._w_native = field.modulus % R
+        self._w_limbs = field.to_limbs(field.modulus)
+
+    # -- assignment --------------------------------------------------------
+    def _native_of(self, ctx, limb_cells) -> AssignedCell:
+        return self.gate.sum_with_coeff_and_constant(
+            ctx, [(c, b) for c, b in zip(limb_cells, self._limb_base)], 0
+        )
+
+    def assign_w(self, ctx: Context, v: int) -> AssignedInteger:
+        """Witness a value < 2^w_ceil_bits with range-checked limbs."""
+        f = self.f
+        v %= f.modulus
+        limb_vals = f.to_limbs(v)
+        cells = []
+        for i, lv in enumerate(limb_vals):
+            bits = f.limb_bits
+            if i == NLIMBS - 1:
+                bits = f.w_ceil_bits - f.limb_bits * (NLIMBS - 1)
+            cells.append(self.rgate.assign_ranged(ctx, lv, bits))
+        return AssignedInteger(cells, self._native_of(ctx, cells), v, 0)
+
+    def assign_constant(self, ctx: Context, v: int) -> AssignedInteger:
+        f = self.f
+        v %= f.modulus
+        cells = [self.gate.assign_constant(ctx, lv) for lv in f.to_limbs(v)]
+        return AssignedInteger(cells, self._native_of(ctx, cells), v, 0)
+
+    # -- linear ops --------------------------------------------------------
+    def add(self, ctx, a: AssignedInteger, b: AssignedInteger) -> AssignedInteger:
+        limbs = [self.gate.add(ctx, x, y) for x, y in zip(a.limbs, b.limbs)]
+        native = self.gate.add(ctx, a.native, b.native)
+        out = AssignedInteger(limbs, native, a.value + b.value,
+                              max(a.overflow, b.overflow) + 1)
+        return self._maybe_reduce(ctx, out)
+
+    def _value_bits(self, a: AssignedInteger) -> int:
+        """Static bound: a.value < 2^_value_bits(a)."""
+        return self.f.limb_bits * NLIMBS + a.overflow + 2
+
+    def _padding_multiple(self, b: AssignedInteger) -> tuple[int, list[int]]:
+        """Multiple of W whose greedy limb split dominates any limb of b,
+        enabling borrow-free subtraction (depends only on b.overflow, so the
+        circuit shape is witness-independent)."""
+        f = self.f
+        # each b limb < 2^(limb_bits + b.overflow); choose pad limbs >= need
+        need = 1 << (f.limb_bits + b.overflow)
+        m = (need << (f.limb_bits * (NLIMBS - 1) + 2)) // f.modulus + 1
+        pad_val = m * f.modulus
+        pad_limbs = []
+        rest = pad_val
+        for _ in range(NLIMBS - 1):
+            limb = (rest & f.limb_mask) + need  # == rest mod 2^lb, >= need
+            pad_limbs.append(limb)
+            rest = (rest - limb) >> f.limb_bits
+        pad_limbs.append(rest)
+        assert rest >= need, "padding multiple too small"
+        assert sum(pl << (f.limb_bits * i) for i, pl in enumerate(pad_limbs)) == pad_val
+        return pad_val, pad_limbs
+
+    def sub(self, ctx, a: AssignedInteger, b: AssignedInteger) -> AssignedInteger:
+        """a - b + pad (pad a multiple of W making limbs non-negative;
+        five/integer_chip.rs:641-707 w-ceil padding)."""
+        pad_val, pad_limbs = self._padding_multiple(b)
+        limbs = []
+        for x, y, pl in zip(a.limbs, b.limbs, pad_limbs):
+            s = self.gate.sum_with_coeff_and_constant(ctx, [(x, 1), (y, R - 1)], pl)
+            limbs.append(s)
+        native = self.gate.sum_with_coeff_and_constant(
+            ctx, [(a.native, 1), (b.native, R - 1)], pad_val % R
+        )
+        value = a.value - b.value + pad_val
+        assert value >= 0
+        # result limb < 2^(lb + a.ov) + pad_top; pad limbs ~ 2^(lb + b.ov + 3)
+        ov_bits = max(a.overflow, b.overflow + 3) + 1
+        out = AssignedInteger(limbs, native, value, ov_bits)
+        return self._maybe_reduce(ctx, out)
+
+    def neg(self, ctx, a: AssignedInteger) -> AssignedInteger:
+        zero = self.assign_constant(ctx, 0)
+        return self.sub(ctx, zero, a)
+
+    # -- reduction ---------------------------------------------------------
+    def _maybe_reduce(self, ctx, a: AssignedInteger) -> AssignedInteger:
+        if a.overflow > self.OVERFLOW_BITS_LIMIT:
+            return self.reduce(ctx, a)
+        return a
+
+    def reduce(self, ctx, a: AssignedInteger) -> AssignedInteger:
+        """a = d*W + rem with small d; rem freshly range-checked
+        (five/integer_chip.rs:483-581). Enforced mod r and mod 2^limb_bits
+        with a signed carry (CRT covers the bounded value)."""
+        f = self.f
+        d = a.value // f.modulus
+        rem = a.value % f.modulus
+        # static bound: d < a.value / W < 2^(value_bits - w_ceil + 1)
+        d_bits = max(self._value_bits(a) - f.w_ceil_bits + 1, 1)
+        assert d < (1 << d_bits)
+        d_cell = self.rgate.assign_ranged(ctx, d, d_bits)
+        rem_int = self.assign_w(ctx, rem)
+
+        # native: a.native - d*W - rem.native = 0 (mod r)
+        self.gate.one_line(
+            ctx,
+            [pair(a.native, 1), pair(d_cell, (-self._w_native) % R),
+             pair(rem_int.native, R - 1)],
+        )
+
+        # low limb: a0 - d*W0 - rem0 = c * 2^limb_bits, c signed bounded
+        w0 = self._w_limbs[0]
+        c = (int(a.limbs[0]) - d * w0 - int(rem_int.limbs[0]))
+        assert c % (1 << f.limb_bits) == 0
+        c >>= f.limb_bits
+        c_bits = f.limb_bits + a.overflow + 2
+        offset = 1 << (c_bits - 1)
+        c_cell = self.rgate.assign_ranged(ctx, c + offset, c_bits)
+        # a0 - d*w0 - rem0 - (c_cell - offset)*2^limb = 0
+        self.gate.one_line(
+            ctx,
+            [pair(a.limbs[0], 1), pair(d_cell, (-w0) % R),
+             pair(rem_int.limbs[0], R - 1),
+             pair(c_cell, (-(1 << f.limb_bits)) % R)],
+            constant=(offset << f.limb_bits) % R,
+        )
+        return rem_int
+
+    # -- multiplication ----------------------------------------------------
+    def mul(self, ctx, a: AssignedInteger, b: AssignedInteger) -> AssignedInteger:
+        """a*b = d*W + rem, enforced mod r (native row) and mod 2^(2*2*limb)
+        via limb-pair slices with signed range-checked carries
+        (five/integer_chip.rs:104-287)."""
+        f = self.f
+        lb = f.limb_bits
+        prod = a.value * b.value
+        d = prod // f.modulus
+        rem = prod % f.modulus
+
+        # witnesses; static d bound: d < a.value*b.value/W
+        d_bits = self._value_bits(a) + self._value_bits(b) - f.w_ceil_bits + 1
+        d_top_bits = max(d_bits - lb * (NLIMBS - 1), 1)
+        d_limbs_v = [(d >> (lb * i)) & f.limb_mask for i in range(NLIMBS)]
+        d_top = d >> (lb * (NLIMBS - 1))
+        assert d_top < (1 << d_top_bits), "d exceeds static bound"
+        rem_int = self.assign_w(ctx, rem)
+        d_cells = []
+        for i in range(NLIMBS):
+            if i < NLIMBS - 1:
+                d_cells.append(self.rgate.assign_ranged(ctx, d_limbs_v[i], lb))
+            else:
+                d_cells.append(self.rgate.assign_ranged(ctx, d_top, d_top_bits))
+        d_native = self._native_of(ctx, d_cells)
+
+        # native row: a.native * b.native - d.native*W - rem.native = 0 (mod r)
+        ab_native = self.gate.mul(ctx, a.native, b.native)
+        self.gate.one_line(
+            ctx,
+            [pair(ab_native, 1), pair(d_native, (-self._w_native) % R),
+             pair(rem_int.native, R - 1)],
+        )
+
+        # conv columns of a*b (cells) for k = 0..2*NLIMBS-2, but only slices
+        # covering 2^(4*lb) are checked (CRT with the native row)
+        nslice_limbs = 4  # check mod 2^(4*lb): limb columns k = 0..3
+        conv_cells = []
+        for k in range(nslice_limbs):
+            acc = None
+            for i in range(NLIMBS):
+                j = k - i
+                if 0 <= j < NLIMBS:
+                    if acc is None:
+                        acc = self.gate.mul(ctx, a.limbs[i], b.limbs[j])
+                    else:
+                        acc = self.gate.mul_add(ctx, a.limbs[i], b.limbs[j], acc)
+            conv_cells.append(acc)
+
+        # slice checks: for s in {0, 1}:
+        #   L_s = sum_{k in {2s, 2s+1}} (conv_k - sum_i d_i*W_{k-i} - rem_k) 2^(lb*(k-2s))
+        #   L_0 = c_0 * 2^(2lb);  L_1 + c_0 = c_1 * 2^(2lb)
+        carry_val = 0
+        carry_cell = None
+        max_conv = (NLIMBS * ((1 << (lb + a.overflow)) - 1) * ((1 << (lb + b.overflow)) - 1))
+        c_bits = (2 * lb + max_conv.bit_length() - 2 * lb + lb + 4)
+        c_bits = max_conv.bit_length() + 4  # conservative signed-carry width
+        for s in range(2):
+            terms = []
+            const = 0
+            int_val = carry_val
+            for t_i, k in enumerate((2 * s, 2 * s + 1)):
+                shift = pow(2, lb * t_i, R)
+                shift_int = 1 << (lb * t_i)
+                terms.append((conv_cells[k], shift))
+                int_val += self._conv_int(a, b, k) * shift_int
+                for i in range(NLIMBS):
+                    j = k - i
+                    if 0 <= j < NLIMBS:
+                        terms.append((d_cells[i], (-(self._w_limbs[j])) % R * shift % R))
+                        int_val -= d_limbs_v[i] * self._w_limbs[j] * shift_int
+                terms.append((rem_int.limbs[k], (-shift) % R))
+                int_val -= int(rem_int.limbs[k]) * shift_int
+            if carry_cell is not None:
+                terms.append((carry_cell, 1))
+                const = -((1 << (c_bits - 1))) % R  # remove previous offset
+            assert int_val % (1 << (2 * lb)) == 0, "slice not divisible"
+            c_new = int_val >> (2 * lb)
+            offset = 1 << (c_bits - 1)
+            c_cell = self.rgate.assign_ranged(ctx, c_new + offset, c_bits)
+            # sum(terms) + const + offset_prev_removed - (c_cell - offset)*2^(2lb) = 0
+            terms.append((c_cell, (-(1 << (2 * lb))) % R))
+            total_const = (const + (offset << (2 * lb))) % R
+            lhs = self.gate.sum_with_coeff_and_constant(ctx, terms, total_const)
+            self.gate.assert_constant(ctx, lhs, 0)
+            carry_val = c_new
+            carry_cell = c_cell
+
+        return rem_int
+
+    def _conv_int(self, a, b, k) -> int:
+        lb = self.f.limb_bits
+        total = 0
+        for i in range(NLIMBS):
+            j = k - i
+            if 0 <= j < NLIMBS:
+                total += int(a.limbs[i]) * int(b.limbs[j])
+        return total
+
+    def square(self, ctx, a):
+        return self.mul(ctx, a, a)
+
+    # -- comparisons / conversions -----------------------------------------
+    def is_zero(self, ctx, a: AssignedInteger) -> AssignedCell:
+        """a == 0 (mod W): reduce, then limbs all zero OR equal to W's limbs
+        (five/integer_chip.rs:796-806)."""
+        red = self.reduce(ctx, a) if a.overflow else a
+        gate = self.gate
+        zero_bits = [gate.is_zero(ctx, c) for c in red.limbs]
+        all_zero = zero_bits[0]
+        for zb in zero_bits[1:]:
+            all_zero = gate.mul(ctx, all_zero, zb)
+        w_bits = []
+        for c, wl in zip(red.limbs, self._w_limbs):
+            diff = gate.sum_with_coeff_and_constant(ctx, [(c, 1)], (-wl) % R)
+            w_bits.append(gate.is_zero(ctx, diff))
+        all_w = w_bits[0]
+        for wb in w_bits[1:]:
+            all_w = gate.mul(ctx, all_w, wb)
+        # or: z = all_zero + all_w - all_zero*all_w
+        prod = gate.mul(ctx, all_zero, all_w)
+        z = gate.sum_with_coeff_and_constant(
+            ctx, [(all_zero, 1), (all_w, 1), (prod, R - 1)], 0
+        )
+        return z
+
+    def assert_equal(self, ctx, a: AssignedInteger, b: AssignedInteger):
+        d = self.sub(ctx, a, b)
+        z = self.is_zero(ctx, d)
+        self.gate.assert_true(ctx, z)
+
+    def div_unsafe(self, ctx, a: AssignedInteger, b: AssignedInteger) -> AssignedInteger:
+        """c = a/b via c*b = a (b must be invertible mod W)."""
+        f = self.f
+        c_val = a.value % f.modulus * pow(b.value % f.modulus, -1, f.modulus) % f.modulus
+        c = self.assign_w(ctx, c_val)
+        cb = self.mul(ctx, c, b)
+        self.assert_equal(ctx, cb, a)
+        return c
+
+    def bisec(self, ctx, cond, a: AssignedInteger, b: AssignedInteger) -> AssignedInteger:
+        gate = self.gate
+        limbs = [gate.bisec(ctx, cond, x, y) for x, y in zip(a.limbs, b.limbs)]
+        native = gate.bisec(ctx, cond, a.native, b.native)
+        value = a.value if int(cond) else b.value
+        return AssignedInteger(limbs, native, value, max(a.overflow, b.overflow))
