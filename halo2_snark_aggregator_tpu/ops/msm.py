@@ -5,17 +5,18 @@ fold (arith/ecc.rs:38-60) and the in-circuit `shamir` windowed MSM
 (halo2-ecc-circuit-lib/src/chips/ecc_chip.rs:139-244) — redesigned for SIMD:
 
   * per-window digit extraction is a vectorized shift/mask;
-  * points are sorted by bucket per window (one argsort), and buckets are
-    filled by iterating "one point per bucket per step" — all windows and all
-    buckets advance in parallel, so the serial depth is the *maximum bucket
-    load*, not N (branch-free, static shapes; `lax.while_loop` trips until
-    every bucket is drained);
+  * points are sorted by bucket per window (one argsort), and buckets fill by
+    iterating "one point per bucket per step" — all windows and all buckets
+    advance in parallel, so the serial depth is the *maximum bucket load*,
+    not N (`lax.while_loop` trips until every bucket drains);
+  * point arithmetic uses the carry-free redundant field representation
+    (ops/field_rr.py) with complete RCB projective formulas (ops/curve_rr.py)
+    — zero comparisons / branches / carry scans in the hot loop;
   * bucket reduction is the classic two-accumulator running sum, batched over
-    windows;
-  * window combination is c doublings per window plus one add.
+    windows; window combination is c doublings per window plus one add.
 
-`msm_sharded` in parallel/msm_shard.py shards windows across a device mesh
-and reduces partial window sums with ICI collectives.
+`parallel/msm_shard.py` shards points across a device mesh and reduces the
+per-device partial sums over ICI.
 """
 
 from __future__ import annotations
@@ -26,8 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import curve as cv
+from . import curve_rr as cv
 from . import field as fo
+from . import field_rr as fr
+
+# loop-carry limb bound for point coordinates (see field_rr.with_bound)
+CARRY_BOUND = 12
 
 
 def scalar_digits(scalars, c: int):
@@ -46,44 +51,45 @@ def scalar_digits(scalars, c: int):
     return jnp.stack(digs).astype(jnp.int32)
 
 
+def _pin(p):
+    return tuple(fr.with_bound(comp, CARRY_BOUND) for comp in p)
+
+
+def _varying_identity(ref: fr.RR, shape):
+    """Identity points whose arrays derive from the (possibly sharded) input
+    so loop-carry varying-axis types line up under shard_map."""
+    vzero = jnp.broadcast_to(ref.limbs[0] & jnp.int32(0), shape + (fr.NLIMBS,))
+    one = jnp.asarray(cv.FQ.one_mont)
+    return _pin((
+        fr.RR(vzero, CARRY_BOUND),
+        fr.RR(vzero + one, CARRY_BOUND),
+        fr.RR(vzero, CARRY_BOUND),
+    ))
+
+
 @functools.partial(jax.jit, static_argnames=("c",))
 def msm(points, scalars, c: int = 8):
     """MSM: sum_i scalars[i] * points[i].
 
-    points: Jacobian triple of uint32[N, 16] (Montgomery Fq).
-    scalars: uint32[N, 16] standard-form Fr limbs.
-    Returns a Jacobian point (single element).
+    points: projective triple of field_rr.RR with limbs int32[N, 32].
+    scalars: uint32[N, 16] standard-form Fr limbs (ops/field layout).
+    Returns a single projective RR point.
     """
     px, py, pz = points
-    n = px.shape[0]
+    n = px.limbs.shape[0]
     nbuckets = 1 << c
     digits = scalar_digits(scalars, c)  # (W, N)
     windows = digits.shape[0]
 
-    # sort point indices by digit per window
-    order = jnp.argsort(digits, axis=1)  # (W, N)
+    order = jnp.argsort(digits, axis=1)
     sorted_digits = jnp.take_along_axis(digits, order, axis=1)
-
-    # bucket start offsets + counts per window via searchsorted
     bucket_ids = jnp.arange(nbuckets, dtype=jnp.int32)
-    starts = jax.vmap(lambda row: jnp.searchsorted(row, bucket_ids, side="left"))(
-        sorted_digits
-    )  # (W, B)
-    ends = jax.vmap(lambda row: jnp.searchsorted(row, bucket_ids, side="right"))(
-        sorted_digits
-    )
-    counts = ends - starts
-    counts = counts.at[:, 0].set(0)  # digit 0 contributes nothing
+    starts = jax.vmap(lambda row: jnp.searchsorted(row, bucket_ids, side="left"))(sorted_digits)
+    ends = jax.vmap(lambda row: jnp.searchsorted(row, bucket_ids, side="right"))(sorted_digits)
+    counts = (ends - starts).at[:, 0].set(0)  # digit 0 contributes nothing
     max_load = jnp.max(counts)
 
-    def _varying_point(shape):
-        """Identity points whose arrays derive from the (possibly sharded)
-        inputs, so loop-carry varying-axis types line up under shard_map."""
-        vzero = jnp.broadcast_to(px[0] & jnp.uint32(0), shape + (fo.LIMBS,))
-        one = jnp.asarray(fo.FQ.one_mont)
-        return (vzero + one, vzero + one, vzero)
-
-    acc = _varying_point((windows, nbuckets))
+    acc = _varying_identity(px, (windows, nbuckets))
 
     def cond(state):
         t, _ = state
@@ -92,15 +98,11 @@ def msm(points, scalars, c: int = 8):
     def body(state):
         t, acc = state
         idx_sorted = jnp.clip(starts + t, 0, n - 1)  # (W, B)
-        point_idx = jnp.take_along_axis(
-            jnp.broadcast_to(order, (windows, n)), idx_sorted, axis=1
-        )  # (W, B)
-        bx = px[point_idx]  # (W, B, 16)
-        by = py[point_idx]
-        bz = pz[point_idx]
-        valid = t < counts  # (W, B)
-        new = cv.add(acc, (bx, by, bz))
-        acc = cv.select_point(valid, new, acc)
+        point_idx = jnp.take_along_axis(order, idx_sorted, axis=1)
+        pt = cv.gather_point((px, py, pz), point_idx)  # (W, B, 32) limbs
+        new = cv.add(acc, pt)
+        valid = t < counts
+        acc = _pin(cv.select_point(valid, new, acc))
         return t + 1, acc
 
     _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc))
@@ -109,25 +111,24 @@ def msm(points, scalars, c: int = 8):
     def red_body(i, state):
         running, total = state
         b = nbuckets - 1 - i
-        bucket = tuple(a[:, b] for a in acc)
-        running = cv.add(running, bucket)
-        total = cv.add(total, running)
+        bucket = tuple(fr.RR(comp.limbs[:, b], comp.bound) for comp in acc)
+        running = _pin(cv.add(running, bucket))
+        total = _pin(cv.add(total, running))
         return running, total
 
-    running = _varying_point((windows,))
-    total = _varying_point((windows,))
+    running = _varying_identity(px, (windows,))
+    total = _varying_identity(px, (windows,))
     running, total = jax.lax.fori_loop(0, nbuckets - 1, red_body, (running, total))
 
     # window combination: result = sum_w 2^(c*w) S_w, highest window first
     def comb_body(i, res):
         w = windows - 1 - i
         for _ in range(c):
-            res = cv.double(res)
-        return cv.add(res, tuple(a[w] for a in total))
+            res = _pin(cv.double(res))
+        return _pin(cv.add(res, cv.gather_point(total, w)))
 
-    # first window (highest) without the doubling prefix:
-    res = tuple(a[windows - 1] for a in total)
-    res = jax.lax.fori_loop(1, windows, lambda i, r: comb_body(i, r), res)
+    res = _pin(cv.gather_point(total, windows - 1))
+    res = jax.lax.fori_loop(1, windows, comb_body, res)
     return res
 
 
@@ -142,7 +143,8 @@ def msm_host(points_int, scalars_int, c: int = 8):
     padded = 1 << max(3, (n - 1).bit_length())
     pts = list(points_int) + [None] * (padded - n)
     scals = [s % fo.FR.modulus for s in scalars_int] + [0] * (padded - n)
-    jpts = cv.from_affine_ints(pts)
+    jpts = _pin(cv.from_affine_ints(pts))
     jscal = jnp.asarray(fo.ints_to_limbs(scals))
     out = msm(jpts, jscal, c=c)
-    return cv.to_affine_ints(tuple(np.asarray(a)[None] for a in out))[0]
+    host = tuple(fr.RR(np.asarray(comp.limbs)[None], comp.bound) for comp in out)
+    return cv.to_affine_ints(host)[0]

@@ -23,8 +23,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ff import bn254 as ff
-from ..ops import curve as cv
+from ..ops import curve_rr as cv
 from ..ops import field as fo
+from ..ops import field_rr as frr
 from ..ops import msm as msm_mod
 
 
@@ -50,13 +51,20 @@ def msm_sharded(points, scalars, mesh: Mesh, c: int = 8, axis: str = "shard"):
     )
     def _sharded(pts, scals):
         local = msm_mod.msm(pts, scals, c=c)
-        return tuple(comp[None] for comp in local)  # (1, 16) per device
+        return tuple(frr.RR(comp.limbs[None], comp.bound) for comp in local)
 
-    partials = _sharded(points, scalars)  # (ndev, 16) per component
+    partials = _sharded(points, scalars)  # leaves (ndev, 32) per component
     ndev = mesh.shape[axis]
-    acc = tuple(comp[0] for comp in partials)
+
+    def at(d):
+        return tuple(frr.RR(comp.limbs[d], comp.bound) for comp in partials)
+
+    acc = at(0)
     for d in range(1, ndev):
-        acc = cv.add(acc, tuple(comp[d] for comp in partials))
+        acc = tuple(
+            frr.with_bound(comp, msm_mod.CARRY_BOUND)
+            for comp in cv.add(acc, at(d))
+        )
     return acc
 
 
@@ -68,7 +76,10 @@ def msm_sharded_host(points_int, scalars_int, mesh: Mesh, c: int = 8,
     pad = (-n) % ndev
     pts = list(points_int) + [None] * pad
     scals = [s % ff.R for s in scalars_int] + [0] * pad
-    jpts = cv.from_affine_ints(pts)
+    jpts = tuple(
+        frr.with_bound(comp, msm_mod.CARRY_BOUND) for comp in cv.from_affine_ints(pts)
+    )
     jscal = jnp.asarray(fo.ints_to_limbs(scals))
     out = msm_sharded(jpts, jscal, mesh, c=c, axis=axis)
-    return cv.to_affine_ints(tuple(np.asarray(a)[None] for a in out))[0]
+    host = tuple(frr.RR(np.asarray(comp.limbs)[None], comp.bound) for comp in out)
+    return cv.to_affine_ints(host)[0]
