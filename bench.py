@@ -28,14 +28,19 @@ def bench_msm():
 
     n = int(os.environ.get("BENCH_MSM_SIZE", "65536"))
     jpts, jscal = _example_msm_inputs(n)
+    import numpy as np
+
+    def materialize(out):
+        # NOTE: on the axon backend block_until_ready does not wait; force
+        # completion by materializing to host
+        return [np.asarray(comp.limbs) for comp in out]
+
     fn = jax.jit(lambda p, s: msm_mod.msm(p, s, c=8))
-    out = fn(jpts, jscal)
-    jax.block_until_ready(out)  # compile
+    materialize(fn(jpts, jscal))  # compile
     t0 = time.time()
     reps = 3
     for _ in range(reps):
-        out = fn(jpts, jscal)
-        jax.block_until_ready(out)
+        materialize(fn(jpts, jscal))
     dt = (time.time() - t0) / reps
     pts_per_s = n / dt
     return {
