@@ -252,9 +252,10 @@ class IntegerChip:
         #   L_0 = c_0 * 2^(2lb);  L_1 + c_0 = c_1 * 2^(2lb)
         carry_val = 0
         carry_cell = None
-        max_conv = (NLIMBS * ((1 << (lb + a.overflow)) - 1) * ((1 << (lb + b.overflow)) - 1))
-        c_bits = (2 * lb + max_conv.bit_length() - 2 * lb + lb + 4)
-        c_bits = max_conv.bit_length() + 4  # conservative signed-carry width
+        # |carry| <= |L_s| / 2^(2lb) ~ conv_max / 2^lb; conv_max ~ 4*2^(2lb+ova+ovb)
+        # signed width must keep carry*2^(2lb) + offsets well below r
+        c_bits = lb + a.overflow + b.overflow + 8
+        assert c_bits + 2 * lb + 2 < R.bit_length(), "carry width unsound"
         for s in range(2):
             terms = []
             const = 0
