@@ -1,0 +1,193 @@
+"""In-circuit ECC over non-native coordinates (reference B5/B6,
+halo2-ecc-circuit-lib/src/chips/{ecc_chip,native_ecc_chip}.rs).
+
+Points are (x, y: AssignedInteger over the wrong field, z: AssignedCell
+identity bit) — the reference's AssignedPoint layout (ecc_chip.rs:11-58).
+Completeness is obtained with bisec (conditional-select) trees over the
+tangent/chord lambda, mirroring the reference's approach (ecc_chip.rs:383-408)
+rather than constraint-free formulas: in-circuit, selects are cheap and the
+d*W+rem integer muls are the cost driver.
+
+Scalar multiplication uses binary double-and-add over an asserted bit
+decomposition (native_ecc_chip.rs:41-135 decomposes via assigned bits with a
+recombination row); `scalar_bits` is parametric so gadget tests stay small.
+`multi_exp` is the naive fold for now — the windowed `shamir` MSM
+(ecc_chip.rs:139-244) lands with the aggregation circuit round.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..ff import bn254 as ff
+from ..ff.bn254 import R
+from .base_gate import AssignedCell, BaseGate, Context
+from .integer_chip import AssignedInteger, IntegerChip
+
+
+@dataclasses.dataclass
+class AssignedPoint:
+    x: AssignedInteger
+    y: AssignedInteger
+    z: AssignedCell  # identity flag bit
+
+    def value(self, chip: "EccChip"):
+        if int(self.z):
+            return None
+        W = chip.integer.f.modulus
+        return (self.x.value % W, self.y.value % W)
+
+
+class EccChip:
+    def __init__(self, integer_chip: IntegerChip, curve_b: int = ff.G1_B,
+                 scalar_bits: int = 254):
+        self.integer = integer_chip
+        self.curve_b = curve_b
+        self.scalar_bits = scalar_bits
+
+    # -- assignment --------------------------------------------------------
+    def assign_point(self, ctx: Context, pt) -> AssignedPoint:
+        """Witness an affine point with an on-curve check y^2 = x^3 + b
+        (ecc_chip.rs:473-500). Identity is (0, 0, z=1)."""
+        chip = self.integer
+        gate = chip.gate
+        if pt is None:
+            x = chip.assign_constant(ctx, 0)
+            y = chip.assign_constant(ctx, 0)
+            z = gate.assign_constant(ctx, 1)
+            return AssignedPoint(x, y, z)
+        x = chip.assign_w(ctx, pt[0])
+        y = chip.assign_w(ctx, pt[1])
+        z = gate.assign_constant(ctx, 0)
+        y2 = chip.square(ctx, y)
+        x3 = chip.mul(ctx, chip.square(ctx, x), x)
+        rhs = chip.add(ctx, x3, chip.assign_constant(ctx, self.curve_b))
+        chip.assert_equal(ctx, y2, rhs)
+        return AssignedPoint(x, y, z)
+
+    def assign_constant_point(self, ctx: Context, pt) -> AssignedPoint:
+        chip = self.integer
+        gate = chip.gate
+        if pt is None:
+            return AssignedPoint(
+                chip.assign_constant(ctx, 0),
+                chip.assign_constant(ctx, 0),
+                gate.assign_constant(ctx, 1),
+            )
+        return AssignedPoint(
+            chip.assign_constant(ctx, pt[0]),
+            chip.assign_constant(ctx, pt[1]),
+            gate.assign_constant(ctx, 0),
+        )
+
+    def assign_identity(self, ctx: Context) -> AssignedPoint:
+        return self.assign_constant_point(ctx, None)
+
+    # -- helpers -----------------------------------------------------------
+    def bisec_point(self, ctx, cond, a: AssignedPoint, b: AssignedPoint) -> AssignedPoint:
+        chip = self.integer
+        gate = chip.gate
+        return AssignedPoint(
+            chip.bisec(ctx, cond, a.x, b.x),
+            chip.bisec(ctx, cond, a.y, b.y),
+            gate.bisec(ctx, cond, a.z, b.z),
+        )
+
+    def _lambda_tangent(self, ctx, p: AssignedPoint) -> AssignedInteger:
+        """3x^2 / 2y (y = 0 impossible in the odd-order subgroup)."""
+        chip = self.integer
+        x2 = chip.square(ctx, p.x)
+        three_x2 = chip.add(ctx, chip.add(ctx, x2, x2), x2)
+        two_y = chip.add(ctx, p.y, p.y)
+        # guard the denominator when p is the identity (y = 0): divide by 1
+        one = chip.assign_constant(ctx, 1)
+        safe = chip.bisec(ctx, p.z, one, two_y)
+        return chip.div_unsafe(ctx, three_x2, safe)
+
+    def add(self, ctx, p1: AssignedPoint, p2: AssignedPoint) -> AssignedPoint:
+        """Complete addition via lambda-select (ecc_chip.rs:383-408)."""
+        chip = self.integer
+        gate = chip.gate
+
+        dx = chip.sub(ctx, p2.x, p1.x)
+        dy = chip.sub(ctx, p2.y, p1.y)
+        eq_x = chip.is_zero(ctx, dx)
+        eq_y = chip.is_zero(ctx, dy)
+
+        one = chip.assign_constant(ctx, 1)
+        safe_dx = chip.bisec(ctx, eq_x, one, dx)
+        lam_chord = chip.div_unsafe(ctx, dy, safe_dx)
+        lam_tan = self._lambda_tangent(ctx, p1)
+        lam = chip.bisec(ctx, eq_x, lam_tan, lam_chord)
+
+        x3 = chip.sub(ctx, chip.sub(ctx, chip.square(ctx, lam), p1.x), p2.x)
+        y3 = chip.sub(ctx, chip.mul(ctx, lam, chip.sub(ctx, p1.x, x3)), p1.y)
+
+        # identity outcomes: p1 + (-p1) (eq_x and not eq_y)
+        not_eq_y = gate.sum_with_coeff_and_constant(ctx, [(eq_y, R - 1)], 1)
+        res_is_id = gate.mul(ctx, eq_x, not_eq_y)
+        zero_int = chip.assign_constant(ctx, 0)
+        out = AssignedPoint(
+            chip.bisec(ctx, res_is_id, zero_int, x3),
+            chip.bisec(ctx, res_is_id, zero_int, y3),
+            res_is_id,
+        )
+        # identity inputs
+        out = self.bisec_point(ctx, p2.z, p1, out)
+        out = self.bisec_point(ctx, p1.z, p2, out)
+        return out
+
+    def double(self, ctx, p: AssignedPoint) -> AssignedPoint:
+        chip = self.integer
+        lam = self._lambda_tangent(ctx, p)
+        x3 = chip.sub(ctx, chip.sub(ctx, chip.square(ctx, lam), p.x), p.x)
+        y3 = chip.sub(ctx, chip.mul(ctx, lam, chip.sub(ctx, p.x, x3)), p.y)
+        zero_int = chip.assign_constant(ctx, 0)
+        return AssignedPoint(
+            chip.bisec(ctx, p.z, zero_int, x3),
+            chip.bisec(ctx, p.z, zero_int, y3),
+            p.z,
+        )
+
+    def neg(self, ctx, p: AssignedPoint) -> AssignedPoint:
+        return AssignedPoint(p.x, self.integer.neg(ctx, p.y), p.z)
+
+    # -- scalar decomposition (native_ecc_chip.rs:41-135) -------------------
+    def decompose_scalar(self, ctx, scalar: AssignedCell) -> list[AssignedCell]:
+        gate = self.integer.gate
+        value = int(scalar) % R
+        assert value < (1 << self.scalar_bits), "scalar exceeds configured bits"
+        bits = []
+        for i in range(self.scalar_bits):
+            b = gate.assign(ctx, (value >> i) & 1)
+            gate.assert_bit(ctx, b)
+            bits.append(b)
+        recombined = gate.sum_with_coeff_and_constant(
+            ctx, [(b, pow(2, i, R)) for i, b in enumerate(bits)], 0
+        )
+        gate.assert_equal(ctx, scalar, recombined)
+        return bits
+
+    def scalar_mul(self, ctx, scalar: AssignedCell, p: AssignedPoint) -> AssignedPoint:
+        bits = self.decompose_scalar(ctx, scalar)
+        acc = self.assign_identity(ctx)
+        for b in reversed(bits):
+            acc = self.double(ctx, acc)
+            added = self.add(ctx, acc, p)
+            acc = self.bisec_point(ctx, b, added, acc)
+        return acc
+
+    def multi_exp(self, ctx, points: list[AssignedPoint], scalars: list[AssignedCell]) -> AssignedPoint:
+        acc = None
+        for p, s in zip(points, scalars):
+            t = self.scalar_mul(ctx, s, p)
+            acc = t if acc is None else self.add(ctx, acc, t)
+        if acc is None:
+            acc = self.assign_identity(ctx)
+        return acc
+
+    def assert_equal(self, ctx, p1: AssignedPoint, p2: AssignedPoint):
+        gate = self.integer.gate
+        self.integer.assert_equal(ctx, p1.x, p2.x)
+        self.integer.assert_equal(ctx, p1.y, p2.y)
+        gate.assert_equal(ctx, p1.z, p2.z)

@@ -212,8 +212,8 @@ class IntegerChip:
         # witnesses; static d bound: d < a.value*b.value/W
         d_bits = self._value_bits(a) + self._value_bits(b) - f.w_ceil_bits + 1
         d_top_bits = max(d_bits - lb * (NLIMBS - 1), 1)
-        d_limbs_v = [(d >> (lb * i)) & f.limb_mask for i in range(NLIMBS)]
-        d_top = d >> (lb * (NLIMBS - 1))
+        d_top = d >> (lb * (NLIMBS - 1))  # top limb may exceed limb_bits
+        d_limbs_v = [(d >> (lb * i)) & f.limb_mask for i in range(NLIMBS - 1)] + [d_top]
         assert d_top < (1 << d_top_bits), "d exceeds static bound"
         rem_int = self.assign_w(ctx, rem)
         d_cells = []
