@@ -57,6 +57,26 @@ def main(argv=None):
     elif args.command == "verify_check":
         w_x, w_g, _ = harness.verify_check([spec], store, use_tpu=not args.cpu)
         print(f"final pair:\n  w_x = {w_x}\n  w_g = {w_g}")
+    elif args.command == "verify_solidity":
+        # generate an EVM verifier for a stored SHA-transcript proof; the demo
+        # re-proves proof 0 with the SHA flavor (the outer aggregation proof
+        # uses this transcript once the aggregation circuit lands)
+        from ..prover.prove import create_proof
+        from ..solidity.generate import generate
+        from ..solidity.render import render
+        from ..transcript.host import ShaWrite
+        from ..circuits.simple import SimpleMulCircuit as _C
+
+        params = store.read_target_params(spec.name)
+        vk, pk = store.read_target_vkey(spec.name)
+        circuit = spec.circuit_builder(1)
+        instances = spec.instance_builder(circuit)
+        proof = create_proof(pk, params, [circuit], [instances], ShaWrite(), seed=0)
+        gen = generate(vk, params, proof, instances)
+        assert gen.pairing_ok
+        store.write_solidity(render(gen, params))
+        print(f"verifier.sol written ({gen.transcript_words} proof words, "
+              f"{len(gen.cg.statements)} statements)")
     else:
         print(
             f"{args.command}: requires the circuit/codegen contexts "
