@@ -20,8 +20,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _configure_jax():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+
 def bench_msm():
     import jax
+
+    _configure_jax()
 
     from halo2_snark_aggregator_tpu.ops import msm as msm_mod
     from __graft_entry__ import _example_msm_inputs
@@ -52,6 +61,7 @@ def bench_msm():
 
 
 def bench_aggregation():
+    _configure_jax()
     from halo2_snark_aggregator_tpu.arith.tpu_value import make_tpu_chips
     from halo2_snark_aggregator_tpu.circuits.simple import SimpleMulCircuit
     from halo2_snark_aggregator_tpu.protocol import verify as pv
@@ -105,8 +115,17 @@ def bench_aggregation():
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_MSM"):
-        result = bench_msm()
-    else:
+    try:
+        if os.environ.get("BENCH_MSM"):
+            result = bench_msm()
+        else:
+            result = bench_aggregation()
+    except Exception as exc:  # TPU worker faults must not lose the datapoint
+        if os.environ.get("BENCH_NO_FALLBACK"):
+            raise
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         result = bench_aggregation()
+        result["unit"] += f" [CPU FALLBACK: accelerator failed: {type(exc).__name__}]"
     print(json.dumps(result))
