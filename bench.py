@@ -60,8 +60,9 @@ def bench_msm():
     }
 
 
-def bench_aggregation():
-    _configure_jax()
+def bench_aggregation(use_tpu: bool = True):
+    if use_tpu:
+        _configure_jax()
     from halo2_snark_aggregator_tpu.arith.tpu_value import make_tpu_chips
     from halo2_snark_aggregator_tpu.circuits.simple import SimpleMulCircuit
     from halo2_snark_aggregator_tpu.protocol import verify as pv
@@ -85,12 +86,19 @@ def bench_aggregation():
              c.instances())
         )
 
+    from halo2_snark_aggregator_tpu.arith.value import ValueContext, ValueEccChip
+
     def run_once():
-        ctx, nchip, schip, pchip = make_tpu_chips()
+        if use_tpu:
+            ctx, nchip, schip, pchip = make_tpu_chips()
+        else:
+            ctx = ValueContext()
+            pchip = ValueEccChip()
+            nchip = schip = pchip.scalar_chip
         pdata = []
         for proof_bytes, insts in proofs:
             t = PoseidonTranscriptRead(proof_bytes, ctx, nchip)
-            pdata.append(pv.ProofData(instances=[insts], transcript=t, key="p"))
+            pdata.append(pv.ProofData(instances=[insts], transcript=t, key=f"p{len(pdata)}"))
         agg_t = PoseidonTranscriptRead(b"", ctx, nchip)
         cp = pv.CircuitProof(name="bench", vk=vk, params=params, proofs=pdata)
         *_, ok = pv.verify_aggregation_proofs_in_chip(
@@ -123,9 +131,6 @@ if __name__ == "__main__":
     except Exception as exc:  # TPU worker faults must not lose the datapoint
         if os.environ.get("BENCH_NO_FALLBACK"):
             raise
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-        result = bench_aggregation()
-        result["unit"] += f" [CPU FALLBACK: accelerator failed: {type(exc).__name__}]"
+        result = bench_aggregation(use_tpu=False)
+        result["unit"] += f" [HOST FALLBACK: accelerator failed: {type(exc).__name__}]"
     print(json.dumps(result))

@@ -782,6 +782,11 @@ def verify_aggregation_proofs_in_chip(ctx, nchip, schip, pchip,
     plain_assigned_instances = []
     folded: list[tuple[MultiOpenProof, list]] = []
 
+    # commitment-name dedup in the schema eval requires globally distinct
+    # per-proof keys (evaluation.rs key-dedup at 250-268)
+    keys = [pd.key for c in circuits for pd in c.proofs]
+    assert len(keys) == len(set(keys)), f"ProofData keys must be distinct: {keys}"
+
     for circuit in circuits:
         for proof_data in circuit.proofs:
             plain, commitments = assign_instance_commitment(

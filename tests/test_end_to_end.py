@@ -117,3 +117,26 @@ def test_verify_aggregation_two_proofs(setup):
     assert ok, "aggregated pairing check failed"
     assert len(commits) == 2
     assert len(ctx.msm_sizes) >= 1
+
+
+def test_aggregation_rejects_duplicate_keys(setup):
+    params, vk, pk = setup
+    proof1, inst1 = _prove(pk, params, 2, 3, seed=11)
+    proof2, inst2 = _prove(pk, params, 4, 5, seed=12)
+    ctx = ValueContext()
+    pchip = ValueEccChip()
+    schip = nchip = pchip.scalar_chip
+    t1 = PoseidonTranscriptRead(proof1, ctx, nchip)
+    t2 = PoseidonTranscriptRead(proof2, ctx, nchip)
+    agg = PoseidonTranscriptRead(b"", ctx, nchip)
+    cp = pv.CircuitProof(
+        name="simple", vk=vk, params=params,
+        proofs=[
+            pv.ProofData(instances=[inst1], transcript=t1, key="same"),
+            pv.ProofData(instances=[inst2], transcript=t2, key="same"),
+        ],
+    )
+    # duplicate keys would silently corrupt the schema key-dedup; must assert
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        pv.verify_aggregation_proofs_in_chip(ctx, nchip, schip, pchip, [cp], agg)
