@@ -1,0 +1,100 @@
+"""Batched Poseidon permutation over the carry-free redundant representation.
+
+Same schedule as ops/poseidon.py (T=9, 8 full + 63 partial rounds) but on
+field_rr limbs, so the transcript hashing of the future fully-traced batched
+verifier shares one representation with the MSM kernels (no canonical/
+redundant conversions inside the traced program).
+
+State: RR with limbs int32[..., 9, 32]. Rounds run as trace-time loops (the
+flat op chains fuse; the scan variant measured ~1000x slower on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..hashes import poseidon_spec as spec
+from . import field_rr as fr
+
+FR = fr.FR
+
+
+@functools.lru_cache(maxsize=1)
+def _consts():
+    rc, mds = spec.generate_constants()
+    rc_m = np.stack([np.stack([FR.to_mont_int(c) for c in row]) for row in rc])
+    mds_m = np.stack([np.stack([FR.to_mont_int(c) for c in row]) for row in mds])
+    return rc_m, mds_m  # (71, 9, 32), (9, 9, 32)
+
+
+def _sbox(x: fr.RR) -> fr.RR:
+    x2 = fr.mont_mul(FR, x, x)
+    x4 = fr.mont_mul(FR, x2, x2)
+    return fr.mont_mul(FR, x4, x)
+
+
+def _mds(state: fr.RR, mds: np.ndarray) -> fr.RR:
+    # out[i] = sum_j mds[i][j] * s[j]
+    s_exp = fr.RR(state.limbs[..., None, :, :], state.bound)  # (..., 1, 9, 32)
+    m = fr.RR(jnp.asarray(mds), 8)
+    prod = fr.mont_mul(FR, s_exp, m)  # (..., 9, 9, 32)
+    acc = fr.RR(jnp.sum(prod.limbs, axis=-2), prod.bound + 4)  # 9 terms
+    if acc.bound > fr.MUL_INPUT_BOUND:
+        acc = fr.normalize(FR, acc)
+    return acc
+
+
+def permute(state: fr.RR) -> fr.RR:
+    """state: RR limbs int32[..., 9, 32]; returns the permuted state."""
+    rc_m, mds_m = _consts()
+    half_f = spec.R_F // 2
+    idx = 0
+
+    def add_rc(s, row):
+        return fr.add(FR, s, fr.RR(jnp.asarray(rc_m[row]), 8))
+
+    for _ in range(half_f):
+        state = _mds(_sbox(add_rc(state, idx)), mds_m)
+        idx += 1
+    for _ in range(spec.R_P):
+        state = add_rc(state, idx)
+        s0 = _sbox(fr.RR(state.limbs[..., 0:1, :], state.bound))
+        limbs = jnp.concatenate([s0.limbs, state.limbs[..., 1:, :]], axis=-2)
+        state = _mds(fr.RR(limbs, max(state.bound, s0.bound)), mds_m)
+        idx += 1
+    for _ in range(half_f):
+        state = _mds(_sbox(add_rc(state, idx)), mds_m)
+        idx += 1
+    return state
+
+
+def absorb_chunk(state: fr.RR, inputs: fr.RR, n_inputs: int) -> fr.RR:
+    """Sponge absorption (cf. ops/poseidon.absorb_chunk): add inputs into
+    state[1..1+n], padding 1 at state[1+n] when n < RATE, then permute."""
+    assert n_inputs <= spec.RATE
+    limbs = state.limbs
+    bound = state.bound
+    if n_inputs:
+        upd = fr.add(
+            FR,
+            fr.RR(limbs[..., 1 : 1 + n_inputs, :], bound),
+            inputs,
+        )
+        limbs = jnp.concatenate(
+            [limbs[..., :1, :], upd.limbs, limbs[..., 1 + n_inputs :, :]], axis=-2
+        )
+        bound = max(bound, upd.bound)
+    if n_inputs < spec.RATE:
+        one = fr.RR(jnp.asarray(FR.one_mont), 8)
+        slot = fr.add(FR, fr.RR(limbs[..., 1 + n_inputs, :], bound), one)
+        limbs = jnp.concatenate(
+            [limbs[..., : 1 + n_inputs, :], slot.limbs[..., None, :],
+             limbs[..., 2 + n_inputs :, :]],
+            axis=-2,
+        )
+        bound = max(bound, slot.bound)
+    return permute(fr.RR(limbs, bound))
