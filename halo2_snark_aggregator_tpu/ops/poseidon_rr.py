@@ -5,8 +5,9 @@ field_rr limbs, so the transcript hashing of the future fully-traced batched
 verifier shares one representation with the MSM kernels (no canonical/
 redundant conversions inside the traced program).
 
-State: RR with limbs int32[..., 9, 32]. Rounds run as trace-time loops (the
-flat op chains fuse; the scan variant measured ~1000x slower on TPU).
+State: RR with limbs int32[..., 9, 32]. Rounds run under lax.scan: a scan
+over ROUNDS amortizes well (each body is a batched 9x9 field matmul), unlike
+the per-limb carry scans that made the canonical representation slow.
 """
 
 from __future__ import annotations
@@ -49,27 +50,42 @@ def _mds(state: fr.RR, mds: np.ndarray) -> fr.RR:
 
 
 def permute(state: fr.RR) -> fr.RR:
-    """state: RR limbs int32[..., 9, 32]; returns the permuted state."""
+    """state: RR limbs int32[..., 9, 32]; returns the permuted state.
+
+    Rounds run under lax.scan (one traced body per phase): the RR limb-bound
+    discipline is loop-stable (state normalizes back to the same bound each
+    round), so the carry type is fixed and the compiled graph stays small.
+    Unlike per-limb carry scans, a scan over ROUNDS amortizes fine on TPU —
+    each step is a full batched 9x9 field matmul."""
     rc_m, mds_m = _consts()
     half_f = spec.R_F // 2
-    idx = 0
 
-    def add_rc(s, row):
-        return fr.add(FR, s, fr.RR(jnp.asarray(rc_m[row]), 8))
+    # pin a stable loop bound for the state
+    LOOP_BOUND = fr.MUL_INPUT_BOUND
 
-    for _ in range(half_f):
-        state = _mds(_sbox(add_rc(state, idx)), mds_m)
-        idx += 1
-    for _ in range(spec.R_P):
-        state = add_rc(state, idx)
-        s0 = _sbox(fr.RR(state.limbs[..., 0:1, :], state.bound))
-        limbs = jnp.concatenate([s0.limbs, state.limbs[..., 1:, :]], axis=-2)
-        state = _mds(fr.RR(limbs, max(state.bound, s0.bound)), mds_m)
-        idx += 1
-    for _ in range(half_f):
-        state = _mds(_sbox(add_rc(state, idx)), mds_m)
-        idx += 1
-    return state
+    def stabilize(s: fr.RR) -> fr.RR:
+        if s.bound > LOOP_BOUND:
+            s = fr.normalize(FR, s)
+        return fr.with_bound(s, LOOP_BOUND)
+
+    def full_round(s, rc_row):
+        s = fr.add(FR, fr.RR(s, LOOP_BOUND), fr.RR(rc_row, 8))
+        s = _sbox(s)
+        return stabilize(_mds(s, mds_m)).limbs, None
+
+    def partial_round(s, rc_row):
+        st = fr.add(FR, fr.RR(s, LOOP_BOUND), fr.RR(rc_row, 8))
+        s0 = _sbox(fr.RR(st.limbs[..., 0:1, :], st.bound))
+        limbs = jnp.concatenate([s0.limbs, st.limbs[..., 1:, :]], axis=-2)
+        st = _mds(fr.RR(limbs, max(st.bound, s0.bound)), mds_m)
+        return stabilize(st).limbs, None
+
+    limbs = stabilize(state).limbs
+    rc = jnp.asarray(rc_m)
+    limbs, _ = jax.lax.scan(full_round, limbs, rc[:half_f])
+    limbs, _ = jax.lax.scan(partial_round, limbs, rc[half_f : half_f + spec.R_P])
+    limbs, _ = jax.lax.scan(full_round, limbs, rc[half_f + spec.R_P :])
+    return fr.RR(limbs, LOOP_BOUND)
 
 
 def absorb_chunk(state: fr.RR, inputs: fr.RR, n_inputs: int) -> fr.RR:
