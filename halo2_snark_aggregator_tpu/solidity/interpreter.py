@@ -50,6 +50,14 @@ class Interpreter:
                 self.env[st.dest[0]] = (self._val(st.args[0]) - self._val(st.args[1])) % R
             elif op == "fr_mul":
                 self.env[st.dest[0]] = self._val(st.args[0]) * self._val(st.args[1]) % R
+            elif op == "fr_mul_add":
+                self.env[st.dest[0]] = (
+                    self._val(st.args[0]) * self._val(st.args[1]) + self._val(st.args[2])
+                ) % R
+            elif op == "fr_mul_sub":
+                self.env[st.dest[0]] = (
+                    self._val(st.args[0]) * self._val(st.args[1]) - self._val(st.args[2])
+                ) % R
             elif op == "fr_div":
                 self.env[st.dest[0]] = (
                     self._val(st.args[0]) * pow(self._val(st.args[1]), -1, R) % R

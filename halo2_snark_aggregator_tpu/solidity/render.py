@@ -47,6 +47,10 @@ def render(gen: GeneratedVerifier, params) -> str:
             emit(f"m[{slot_of[st.dest[0]]}] = addmod({a[0]}, R_MOD - ({a[1]} % R_MOD), R_MOD);")
         elif st.op == "fr_mul":
             emit(f"m[{slot_of[st.dest[0]]}] = mulmod({a[0]}, {a[1]}, R_MOD);")
+        elif st.op == "fr_mul_add":
+            emit(f"m[{slot_of[st.dest[0]]}] = addmod(mulmod({a[0]}, {a[1]}, R_MOD), {a[2]}, R_MOD);")
+        elif st.op == "fr_mul_sub":
+            emit(f"m[{slot_of[st.dest[0]]}] = addmod(mulmod({a[0]}, {a[1]}, R_MOD), R_MOD - ({a[2]} % R_MOD), R_MOD);")
         elif st.op == "fr_div":
             emit(f"m[{slot_of[st.dest[0]]}] = mulmod({a[0]}, fr_invert({a[1]}), R_MOD);")
         elif st.op == "ecc_add":

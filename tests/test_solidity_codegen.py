@@ -74,3 +74,15 @@ def test_render_and_memory_allocation(setup):
     assert "pairing_check" in src
     assert "sha256(buf)" in src
     assert f"proof.length == {gen.transcript_words}" in src
+
+
+def test_peephole_fused_and_still_correct(setup):
+    params, vk, circuit, proof = setup
+    gen = generate(vk, params, proof, circuit.instances())
+    ops = [st.op for st in gen.cg.statements]
+    assert "fr_mul_add" in ops or "fr_mul_sub" in ops, "peephole found nothing"
+    interp = Interpreter(gen.cg, proof_to_words(proof),
+                         [v % ff.R for col in circuit.instances() for v in col])
+    interp.run()
+    assert interp.point_of(gen.wx) == gen.wx.v
+    assert interp.point_of(gen.wg) == gen.wg.v
