@@ -135,3 +135,31 @@ def select_point(cond, p, q):
 def gather_point(p, idx):
     """Index a batched point along the leading axis."""
     return tuple(fr.RR(c.limbs[idx], c.bound) for c in p)
+
+
+def scalar_mul(p, scalar_limbs16):
+    """Double-and-add over 256 bits (batched): scalar_limbs16 uint32[..., 16]
+    standard-form 16-bit limbs (ops/field layout). Complete formulas make
+    every step branch-free."""
+    import jax
+
+    from . import field as fo
+
+    CB = 12  # loop-carry bound
+
+    def pin(pt):
+        return tuple(fr.with_bound(c, CB) for c in pt)
+
+    acc = pin(identity_like(p[0]))
+    pp = pin(p)
+
+    def body(i, acc):
+        acc = pin(double(acc))
+        idx = 255 - i
+        limb = jax.lax.dynamic_index_in_dim(
+            scalar_limbs16, idx // fo.LIMB_BITS, axis=-1, keepdims=False
+        )
+        bit = ((limb >> (idx % fo.LIMB_BITS)) & 1) != 0
+        return pin(select_point(bit, add(acc, pp), acc))
+
+    return jax.lax.fori_loop(0, 256, body, acc)

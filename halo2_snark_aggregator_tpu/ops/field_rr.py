@@ -298,3 +298,87 @@ def zeros_like(a: RR) -> RR:
 def const_like(spec: RRSpec, a: RR, value_mont: np.ndarray) -> RR:
     zero = a.limbs & jnp.int32(0)
     return RR(zero + jnp.asarray(value_mont), 8)
+
+
+# ---------------------------------------------------------------------------
+# Exponentiation / inversion / canonicalization (batched-verifier support)
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+import numpy as _np
+
+
+@_functools.lru_cache(maxsize=8)
+def _exp_bits_msb(exponent: int):
+    bits = [(exponent >> i) & 1 for i in range(exponent.bit_length())]
+    return _np.array(bits[::-1], dtype=_np.int32)
+
+
+def pow_const(spec: RRSpec, a: RR, exponent: int) -> RR:
+    """a^exponent via an MSB-first square-and-multiply lax.scan (2 muls/step)."""
+    import jax
+
+    a = normalize(spec, a) if a.bound > MUL_INPUT_BOUND else a
+    a = with_bound(a, MUL_INPUT_BOUND)
+    one = RR((a.limbs & jnp.int32(0)) + jnp.asarray(spec.one_mont), MUL_INPUT_BOUND)
+
+    def step(acc_limbs, bit):
+        acc = RR(acc_limbs, MUL_INPUT_BOUND)
+        acc = mont_mul(spec, acc, acc)
+        mul = mont_mul(spec, acc, a)
+        limbs = jnp.where(bit != 0, mul.limbs, acc.limbs)
+        return limbs, None
+
+    bits = jnp.asarray(_exp_bits_msb(exponent))
+    limbs, _ = jax.lax.scan(step, one.limbs, bits)
+    return RR(limbs, NORM_BOUND)
+
+
+def inv(spec: RRSpec, a: RR) -> RR:
+    """Batched Fermat inversion (inv(0) = 0)."""
+    return pow_const(spec, a, spec.modulus - 2)
+
+
+def to_canonical16(spec: RRSpec, a: RR):
+    """RR (Montgomery, redundant) -> canonical standard-form uint32[..., 16]
+    16-bit limbs (ops/field layout), e.g. for MSM scalar digits.
+
+    The one place exact carries are required; runs ONCE at a traced program's
+    boundary: de-Montgomery via mont_mul(a, 1), byte-normalize, then a single
+    32-step carry scan + up to 3 conditional subtracts of p."""
+    import jax
+
+    one_std = RR((a.limbs & jnp.int32(0)).at[..., 0].set(1), 1)
+    v = mont_mul(spec, a, one_std)  # value mod p, redundant, bound <= 2^10
+    limbs = v.limbs
+    # exact carry to 8-bit limbs
+    def carry_step(c, col):
+        t = col + c
+        return t >> BASE_BITS, t & BMASK
+
+    cols = jnp.moveaxis(limbs, -1, 0)
+    carry, out = jax.lax.scan(carry_step, limbs[..., 0] & jnp.int32(0), cols)
+    out = jnp.moveaxis(out, 0, -1)  # canonical-ish: value < 2^256, < ~4p
+    # conditional subtracts of p (value < 2^256 < 6p for both BN254 moduli)
+    p = jnp.asarray(spec.p)
+
+    def sub_borrow(x):
+        def step(b, cols_):
+            xi, pi = cols_
+            t = xi - pi - b
+            return (t >> 31) & 1, t & BMASK  # arithmetic shift: borrow flag
+
+        xs = jnp.moveaxis(x, -1, 0)
+        ps = jnp.moveaxis(jnp.broadcast_to(p, x.shape), -1, 0)
+        borrow, d = jax.lax.scan(step, x[..., 0] & jnp.int32(0), (xs, ps))
+        d = jnp.moveaxis(d, 0, -1)
+        return jnp.where((borrow == 1)[..., None], x, d)
+
+    # value < 2^256 < 6p for both BN254 moduli
+    for _ in range(6):
+        out = sub_borrow(out)
+    # repack 8-bit limbs into 16-bit limbs (uint32 storage)
+    lo = out[..., 0::2]
+    hi = out[..., 1::2]
+    return (lo + (hi << 8)).astype(jnp.uint32)

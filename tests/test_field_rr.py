@@ -102,3 +102,35 @@ def test_msm_rr():
     expected = ff.g1_msm(pts, scalars)
     assert msm_mod.msm_host(pts, scalars, c=8) == expected
     assert msm_mod.msm_host(pts, scalars, c=4) == expected
+
+
+def test_pow_inv_canonical():
+    rng = random.Random(7)
+    spec = fr.FR
+    vals = [rng.randrange(1, spec.modulus) for _ in range(4)] + [0]
+    a = fr.rr_from_host(spec, vals)
+    inv = _jit(lambda x, s=spec: fr.inv(s, x), "inv")(a)
+    got = fr.rr_to_host(spec, inv)
+    assert got == [pow(v, -1, spec.modulus) if v else 0 for v in vals]
+    # canonical 16-bit limb extraction
+    from halo2_snark_aggregator_tpu.ops import field as fo
+
+    can = _jit(lambda x, s=spec: fr.to_canonical16(s, x), "can")(a)
+    assert fo.limbs_to_ints(np.asarray(can)) == vals
+
+
+def test_scalar_mul_rr():
+    import jax.numpy as jnp
+
+    from halo2_snark_aggregator_tpu.ops import field as fo
+
+    rng = random.Random(8)
+    pts = [ff.g1_mul(ff.G1_GEN, rng.randrange(1, ff.R)) for _ in range(2)] + [None]
+    scalars = [rng.randrange(ff.R), 1, 12345]
+    p = tuple(fr.with_bound(c, 12) for c in cvr.from_affine_ints(pts))
+    s = jnp.asarray(fo.ints_to_limbs(scalars))
+    out = _jit(cvr.scalar_mul, "smul")(p, s)
+    host = tuple(fr.RR(np.asarray(c.limbs), c.bound) for c in out)
+    assert cvr.to_affine_ints(host) == [
+        ff.g1_mul(pt, k) for pt, k in zip(pts, scalars)
+    ]
