@@ -1,0 +1,356 @@
+"""Batched on-device proof aggregation: the full verifier as two jitted
+programs per (vk, batch).
+
+Pipeline (SURVEY §7: "same vk => same AST shape => one jitted program, proof
+data as batched operands"):
+
+  1. RECORD (host, once per vk/batch): the standard protocol engine runs with
+     the tape chips — every transcript value becomes a tape input, every
+     scalar op a tape record, every sponge permutation a fused segment. The
+     multiopen AST is flattened via the schema's key-dedup into a static MSM
+     manifest (point source + scalar slot per entry).
+  2. PHASE A (device): execute the tape -> slots buffer holding every
+     derived scalar (challenges, folded coefficients, eval sums) for all
+     lanes at once.
+  3. HOST: absorb each lane's final inner squeeze into the aggregation
+     transcript, squeeze lambda (verify.rs:909-924).
+  4. PHASE B (device): scale per-lane MSM scalars by lambda powers,
+     canonicalize, run ONE flattened Pippenger MSM for w_x and w_g over
+     B x entries points, plus the lambda-folded leftover generator terms.
+  5. HOST: pairing check (always host, like the reference verify.rs:733-740).
+
+Instance commitments are computed host/TPU-side from the public instances
+before phase A; their Fr-cast coordinates enter the tape as inputs (they are
+deterministic functions of public data, so this splits computation, not
+trust).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..arith.tape import Slot, Tape, TapeFieldChip, compile_tape
+from ..ff import bn254 as ff
+from ..hashes.poseidon_chip import PoseidonChipSponge
+from ..ops import curve_rr as cvr
+from ..ops import field as fo
+from ..ops import field_rr as fr
+from ..ops import msm as msm_mod
+from ..transcript.host import PoseidonRead, PoseidonSponge
+from . import verify as pv
+
+FR = fr.FR
+FQ = fr.FQ
+
+
+# -- symbolic points ---------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class TapePoint:
+    """A per-lane runtime point: `source` identifies where its affine coords
+    come from at execution time. kinds: ("proof", byte_offset) |
+    ("instance_commit", col)."""
+
+    source: tuple
+    x_slot: int  # tape input slots of the Fr-cast coords (for absorption)
+    y_slot: int
+
+
+@dataclasses.dataclass(frozen=True)
+class ConstPoint:
+    point: tuple  # affine ints (vk constants, generator)
+
+
+class TapeEccChip:
+    """Minimal pchip for the record pass: points are symbolic; only
+    coordinate-absorption touches the tape."""
+
+    def __init__(self, schip: TapeFieldChip):
+        self.scalar_chip = schip
+        self.native_chip = schip
+
+    def assign_const(self, ctx, pt) -> ConstPoint:
+        return ConstPoint(pt)
+
+    def assign_var(self, ctx, pt):
+        return pt  # transcripts hand us TapePoints already
+
+    def assign_one(self, ctx) -> ConstPoint:
+        return ConstPoint(ff.G1_GEN)
+
+    def coords_in_native(self, ctx, nchip, p):
+        if isinstance(p, TapePoint):
+            return Slot(p.x_slot, 0), Slot(p.y_slot, 0)
+        x, y = (0, 0) if p.point is None else p.point
+        return (
+            nchip.assign_const(ctx, x % ff.R),
+            nchip.assign_const(ctx, y % ff.R),
+        )
+
+
+class RecordingTranscript:
+    """TranscriptRead for the record pass: a host PoseidonRead walks a sample
+    proof (structure only); every value read becomes a tape input with a
+    manifest entry describing how to extract it from each lane's bytes."""
+
+    def __init__(self, sample_proof: bytes, chip: TapeFieldChip, manifest: list):
+        self.host = PoseidonRead(sample_proof)
+        self.chip = chip
+        self.manifest = manifest  # list of ("scalar"|"point", byte_offset)
+        self.sponge = PoseidonChipSponge(chip, None)
+        self.final_squeeze: Slot | None = None
+
+    def read_point(self, ctx, nchip, schip, pchip) -> TapePoint:
+        off = self.host.offset
+        self.host.read_point()
+        x_in = self.chip.assign_input(ctx)
+        y_in = self.chip.assign_input(ctx)
+        self.manifest.append(("point_x", off))
+        self.manifest.append(("point_y", off))
+        self.sponge.update([x_in, y_in])
+        return TapePoint(("proof", off), x_in.idx, y_in.idx)
+
+    def read_scalar(self, ctx, nchip, schip) -> Slot:
+        off = self.host.offset
+        self.host.read_scalar()
+        s = self.chip.assign_input(ctx)
+        self.manifest.append(("scalar", off))
+        self.sponge.update([s])
+        return s
+
+    def squeeze_challenge_scalar(self, ctx, nchip, schip) -> Slot:
+        self.host.squeeze_challenge()
+        out = self.sponge.squeeze(ctx)
+        self.final_squeeze = out
+        return out
+
+    def common_scalar(self, ctx, nchip, schip, s: Slot):
+        self.sponge.update([s])
+
+    def common_point(self, ctx, nchip, schip, pchip, p):
+        x, y = pchip.coords_in_native(ctx, nchip, p)
+        self.sponge.update([x, y])
+
+
+# -- compiled batched verifier ----------------------------------------------
+
+
+class BatchedVerifier:
+    """Compile once per (vk, batch); verify many batches."""
+
+    def __init__(self, vk, params, batch: int, sample_proof: bytes,
+                 sample_instances: list, msm_window: int = 8):
+        self.vk = vk
+        self.params = params
+        self.batch = batch
+        self.n_instances = [len(col) for col in sample_instances]
+
+        tape = Tape()
+        schip = TapeFieldChip(tape)
+        pchip = TapeEccChip(schip)
+        manifest: list = []
+
+        # instance scalars + instance-commitment coords as inputs
+        assigned_instance_points = []
+        inst_scalar_slots = []
+        for col, nvals in enumerate(self.n_instances):
+            for i in range(nvals):
+                s = schip.assign_input(None)
+                manifest.append(("instance", (col, i)))
+                inst_scalar_slots.append(s)
+            x_in = schip.assign_input(None)
+            manifest.append(("inst_commit_x", col))
+            y_in = schip.assign_input(None)
+            manifest.append(("inst_commit_y", col))
+            assigned_instance_points.append(
+                TapePoint(("instance_commit", col), x_in.idx, y_in.idx)
+            )
+
+        transcript = RecordingTranscript(sample_proof, schip, manifest)
+        proof_ast, _advice = pv.verify_single_proof_no_eval(
+            None, schip, schip, pchip,
+            [assigned_instance_points], vk, params, transcript, "",
+        )
+        # each inner transcript is squeezed ONCE MORE after replay; that value
+        # (not u) feeds the aggregation transcript (verify.rs:909-913)
+        self.final_squeeze_slot = transcript.squeeze_challenge_scalar(None, schip, schip)
+
+        one = schip.assign_const(None, 1)
+        self.msm_plans = []
+        for schema in (proof_ast.w_x, proof_ast.w_g):
+            triples = schema.eval_prepare(None, schip, one, None)
+            entries = []
+            leftover = None
+            for key, point, scalar in triples:
+                if key == "":
+                    leftover = scalar
+                elif scalar is None:
+                    entries.append((point, one))
+                else:
+                    entries.append((point, scalar))
+            self.msm_plans.append((entries, leftover))
+
+        self.tape = tape
+        self.manifest = manifest
+        self.run_tape = jax.jit(compile_tape(tape, batch))
+        self.msm_window = msm_window
+        self._phase_b = jax.jit(self._build_phase_b())
+
+    # -- host-side packing --------------------------------------------------
+    def _pack_inputs(self, proofs: list[bytes], instances_per_lane: list):
+        lanes = []
+        commits_per_lane = []
+        for proof, instances in zip(proofs, instances_per_lane):
+            commits = [
+                ff.g1_msm(self.params.g_lagrange[: len(col)], col) if col else None
+                for col in instances
+            ]
+            commits_per_lane.append(commits)
+            vals = []
+            for kind, ref in self.manifest:
+                if kind == "scalar":
+                    vals.append(int.from_bytes(proof[ref : ref + 32], "little"))
+                elif kind in ("point_x", "point_y"):
+                    pt = ff.g1_from_compressed(proof[ref : ref + 32])
+                    x, y = (0, 0) if pt is None else pt
+                    vals.append((x if kind == "point_x" else y) % ff.R)
+                elif kind == "instance":
+                    col, i = ref
+                    vals.append(instances[col][i] % ff.R)
+                elif kind == "inst_commit_x":
+                    pt = commits[ref]
+                    vals.append((0 if pt is None else pt[0]) % ff.R)
+                elif kind == "inst_commit_y":
+                    pt = commits[ref]
+                    vals.append((0 if pt is None else pt[1]) % ff.R)
+                else:
+                    raise KeyError(kind)
+            lanes.append(vals)
+        arr = np.zeros((len(self.manifest), len(proofs), fr.NLIMBS), dtype=np.int32)
+        for b, vals in enumerate(lanes):
+            for i, v in enumerate(vals):
+                arr[i, b] = FR.to_mont_int(v)
+        return jnp.asarray(arr), commits_per_lane
+
+    def _entry_points(self, proofs, commits_per_lane):
+        """Resolve every MSM entry's per-lane affine point (host ints)."""
+        resolved = []
+        for entries, _ in self.msm_plans:
+            pts = []
+            for point, _scalar in entries:
+                if isinstance(point, ConstPoint):
+                    pts.append([point.point] * self.batch)
+                else:
+                    kind, ref = point.source
+                    lane_pts = []
+                    for b in range(self.batch):
+                        if kind == "proof":
+                            lane_pts.append(ff.g1_from_compressed(proofs[b][ref : ref + 32]))
+                        else:
+                            lane_pts.append(commits_per_lane[b][ref])
+                    pts.append(lane_pts)
+            resolved.append(pts)
+        return resolved
+
+    # -- phase B ------------------------------------------------------------
+    def _build_phase_b(self):
+        plans = self.msm_plans
+        batch = self.batch
+        window = self.msm_window
+
+        def phase_b(slots, lam_pows, points_wx, points_wg):
+            # lam_pows: (B, 32) RR Montgomery lambda^{B-1-b}
+            lam = fr.RR(lam_pows, 8)
+            outs = []
+            for (entries, leftover), pts in zip(plans, (points_wx, points_wg)):
+                n = len(entries)
+                scal_slots = np.asarray([
+                    (e[1].idx if isinstance(e[1], Slot) else 0) for e in entries
+                ], dtype=np.int32)
+                scal = fr.RR(slots[jnp.asarray(scal_slots)], fr.MUL_INPUT_BOUND)  # (n, B, 32)
+                scal = fr.mont_mul(FR, scal, fr.RR(lam_pows[None], 8))
+                scal16 = fr.to_canonical16(FR, scal).reshape(n * batch, fo.LIMBS)
+                # pad to pow2
+                padded = 1 << max(3, (n * batch - 1).bit_length())
+                pad = padded - n * batch
+                scal16 = jnp.pad(scal16, ((0, pad), (0, 0)))
+                pt = tuple(
+                    fr.RR(
+                        jnp.pad(c.limbs.reshape(n * batch, fr.NLIMBS), ((0, pad), (0, 0))),
+                        msm_mod.CARRY_BOUND,
+                    )
+                    for c in pts
+                )
+                acc = msm_mod.msm(pt, scal16, c=window)
+                # leftover scalar: sum_b lam_b * leftover_b
+                if leftover is not None:
+                    lv = fr.RR(slots[leftover.idx], fr.MUL_INPUT_BOUND)  # (B, 32)
+                    lv = fr.mont_mul(FR, lv, lam)
+                    total = fr.RR(jnp.sum(lv.limbs, axis=0),
+                                  lv.bound + max(batch.bit_length(), 1))
+                    total = fr.normalize(FR, total)
+                    e16 = fr.to_canonical16(FR, fr.RR(total.limbs[None], total.bound))
+                    gen = tuple(
+                        fr.with_bound(c, msm_mod.CARRY_BOUND)
+                        for c in cvr.from_affine_ints([ff.G1_GEN])
+                    )
+                    gterm = cvr.scalar_mul(
+                        tuple(fr.RR(c.limbs[0], c.bound) for c in gen), e16[0]
+                    )
+                    outs.append((acc, gterm))
+                else:
+                    outs.append((acc, None))
+            return outs
+
+        return phase_b
+
+    # -- public API ---------------------------------------------------------
+    def verify(self, proofs: list[bytes], instances_per_lane: list):
+        assert len(proofs) == self.batch
+        inputs, commits = self._pack_inputs(proofs, instances_per_lane)
+        slots = self.run_tape(inputs)
+
+        # aggregation transcript: absorb per-lane final squeezes, get lambda
+        squeezes = np.asarray(slots[self.final_squeeze_slot.idx])  # (B, 32)
+        outer = PoseidonSponge()
+        lane_vals = [FR.from_mont_limbs(squeezes[b]) for b in range(self.batch)]
+        outer.update(lane_vals)
+        lam = outer.squeeze()
+        lam_pows = np.stack([
+            FR.to_mont_int(pow(lam, self.batch - 1 - b, ff.R))
+            for b in range(self.batch)
+        ])
+
+        pts_resolved = self._entry_points(proofs, commits)
+        device_pts = []
+        for pts in pts_resolved:
+            flat = [p for entry in pts for p in entry]  # (n*B) order: entry-major
+            device_pts.append(tuple(
+                fr.with_bound(c, msm_mod.CARRY_BOUND)
+                for c in cvr.from_affine_ints(flat)
+            ))
+
+        outs = self._phase_b(slots, jnp.asarray(lam_pows), *device_pts)
+
+        results = []
+        for acc, gterm in outs:
+            host_acc = tuple(fr.RR(np.asarray(c.limbs)[None], c.bound) for c in acc)
+            pt = cvr.to_affine_ints(host_acc)[0]
+            if gterm is not None:
+                host_g = tuple(fr.RR(np.asarray(c.limbs)[None], c.bound) for c in gterm)
+                gpt = cvr.to_affine_ints(host_g)[0]
+            else:
+                gpt = None
+            results.append((pt, gpt))
+
+        (wx_s, wx_e), (wg_s, wg_e) = results
+        w_x = ff.g1_add(wx_s, wx_e) if wx_e is not None else wx_s
+        w_g = ff.g1_add(wg_s, ff.g1_neg(wg_e)) if wg_e is not None else wg_s
+        ok = ff.pairing_check([
+            (w_x, self.params.s_g2), (w_g, ff.g2_neg(self.params.g2)),
+        ])
+        return w_x, w_g, ok

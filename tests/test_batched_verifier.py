@@ -1,0 +1,68 @@
+"""Batched on-device verifier vs the value-context aggregation oracle."""
+
+import pytest
+
+from halo2_snark_aggregator_tpu.arith.value import ValueContext, ValueEccChip
+from halo2_snark_aggregator_tpu.circuits.simple import SimpleMulCircuit
+from halo2_snark_aggregator_tpu.protocol import verify as pv
+from halo2_snark_aggregator_tpu.protocol.batched import BatchedVerifier
+from halo2_snark_aggregator_tpu.protocol.transcript import PoseidonTranscriptRead
+from halo2_snark_aggregator_tpu.prover.keygen import keygen
+from halo2_snark_aggregator_tpu.prover.kzg import ParamsKZG
+from halo2_snark_aggregator_tpu.prover.prove import create_proof
+from halo2_snark_aggregator_tpu.transcript.host import PoseidonWrite
+
+
+@pytest.fixture(scope="module")
+def setup():
+    k = SimpleMulCircuit.K
+    params = ParamsKZG.unsafe_setup(k)
+    circuit = SimpleMulCircuit(2, 3)
+    vk, pk = keygen(circuit, k, params)
+    proofs, insts = [], []
+    for i, (a, b) in enumerate([(2, 3), (5, 7)]):
+        c = SimpleMulCircuit(a, b)
+        proofs.append(create_proof(pk, params, [c], [c.instances()],
+                                   PoseidonWrite(), seed=20 + i))
+        insts.append(c.instances())
+    return params, vk, proofs, insts
+
+
+def _oracle(params, vk, proofs, insts):
+    ctx = ValueContext()
+    pchip = ValueEccChip()
+    nchip = schip = pchip.scalar_chip
+    pdata = [
+        pv.ProofData(instances=[inst], transcript=PoseidonTranscriptRead(p, ctx, nchip),
+                     key=f"p{i}")
+        for i, (p, inst) in enumerate(zip(proofs, insts))
+    ]
+    agg = PoseidonTranscriptRead(b"", ctx, nchip)
+    cp = pv.CircuitProof(name="s", vk=vk, params=params, proofs=pdata)
+    w_x, w_g, *_rest, ok = pv.verify_aggregation_proofs_in_chip(
+        ctx, nchip, schip, pchip, [cp], agg
+    )
+    assert ok
+    return w_x, w_g
+
+
+def test_batched_matches_oracle(setup):
+    params, vk, proofs, insts = setup
+    expected_wx, expected_wg = _oracle(params, vk, proofs, insts)
+
+    bv = BatchedVerifier(vk, params, batch=2, sample_proof=proofs[0],
+                         sample_instances=insts[0], msm_window=8)
+    w_x, w_g, ok = bv.verify(proofs, [[col for col in inst] for inst in insts])
+    assert ok, "batched pairing failed"
+    assert w_x == expected_wx
+    assert w_g == expected_wg
+
+
+def test_batched_rejects_bad_instance(setup):
+    params, vk, proofs, insts = setup
+    bv = BatchedVerifier(vk, params, batch=2, sample_proof=proofs[0],
+                         sample_instances=insts[0])
+    bad = [list(map(list, inst)) for inst in insts]
+    bad[1][0][0] = (bad[1][0][0] + 1) % (2**64)
+    *_pair, ok = bv.verify(proofs, bad)
+    assert not ok
