@@ -67,26 +67,47 @@ def _varying_identity(ref: fr.RR, shape):
     ))
 
 
-@functools.partial(jax.jit, static_argnames=("c",))
-def msm(points, scalars, c: int = 8):
-    """MSM: sum_i scalars[i] * points[i].
+def host_bucket_plan(scalars_np: np.ndarray, c: int):
+    """Host-side bucket planning (numpy): digit extraction, per-window sort,
+    bucket starts/counts. Sorting on device (argsort + vmapped searchsorted)
+    compiled for minutes and, combined with the accumulation loop, faulted
+    the axon TPU worker; the plan is O(N log N) host work on int32s and
+    overlaps with device compute in a pipeline."""
+    n = scalars_np.shape[0]
+    nbits = fo.NBITS
+    windows = (nbits + c - 1) // c
+    mask = (1 << c) - 1
+    digits = np.zeros((windows, n), dtype=np.int64)
+    vals = scalars_np.astype(np.int64)
+    for w in range(windows):
+        lo_bit = w * c
+        limb = lo_bit // fo.LIMB_BITS
+        off = lo_bit % fo.LIMB_BITS
+        v = vals[:, limb] >> off
+        if off + c > fo.LIMB_BITS and limb + 1 < fo.LIMBS:
+            v = v | (vals[:, limb + 1] << (fo.LIMB_BITS - off))
+        digits[w] = v & mask
+    order = np.argsort(digits, axis=1, kind="stable").astype(np.int32)
+    sorted_digits = np.take_along_axis(digits, order, axis=1)
+    bucket_ids = np.arange(1 << c)
+    starts = np.stack([
+        np.searchsorted(sorted_digits[w], bucket_ids, side="left")
+        for w in range(windows)
+    ]).astype(np.int32)
+    ends = np.stack([
+        np.searchsorted(sorted_digits[w], bucket_ids, side="right")
+        for w in range(windows)
+    ]).astype(np.int32)
+    counts = (ends - starts).astype(np.int32)
+    counts[:, 0] = 0  # digit 0 contributes nothing
+    return order, starts, counts
 
-    points: projective triple of field_rr.RR with limbs int32[N, 32].
-    scalars: uint32[N, 16] standard-form Fr limbs (ops/field layout).
-    Returns a single projective RR point.
-    """
+
+def _bucket_accumulate(points, order, starts, counts, c: int):
     px, py, pz = points
     n = px.limbs.shape[0]
     nbuckets = 1 << c
-    digits = scalar_digits(scalars, c)  # (W, N)
-    windows = digits.shape[0]
-
-    order = jnp.argsort(digits, axis=1)
-    sorted_digits = jnp.take_along_axis(digits, order, axis=1)
-    bucket_ids = jnp.arange(nbuckets, dtype=jnp.int32)
-    starts = jax.vmap(lambda row: jnp.searchsorted(row, bucket_ids, side="left"))(sorted_digits)
-    ends = jax.vmap(lambda row: jnp.searchsorted(row, bucket_ids, side="right"))(sorted_digits)
-    counts = (ends - starts).at[:, 0].set(0)  # digit 0 contributes nothing
+    windows = order.shape[0]
     max_load = jnp.max(counts)
 
     acc = _varying_identity(px, (windows, nbuckets))
@@ -106,8 +127,13 @@ def msm(points, scalars, c: int = 8):
         return t + 1, acc
 
     _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc))
+    return acc
 
-    # bucket reduction: S_w = sum_b b * bucket[w, b]
+
+def _bucket_reduce(acc, c: int):
+    nbuckets = 1 << c
+    windows = acc[0].limbs.shape[0]
+
     def red_body(i, state):
         running, total = state
         b = nbuckets - 1 - i
@@ -116,11 +142,16 @@ def msm(points, scalars, c: int = 8):
         total = _pin(cv.add(total, running))
         return running, total
 
-    running = _varying_identity(px, (windows,))
-    total = _varying_identity(px, (windows,))
-    running, total = jax.lax.fori_loop(0, nbuckets - 1, red_body, (running, total))
+    ref = fr.RR(acc[0].limbs[:, 0], acc[0].bound)
+    running = _varying_identity(ref, (windows,))
+    total = _varying_identity(ref, (windows,))
+    _running, total = jax.lax.fori_loop(0, nbuckets - 1, red_body, (running, total))
+    return total
 
-    # window combination: result = sum_w 2^(c*w) S_w, highest window first
+
+def _combine_windows(total, c: int):
+    windows = total[0].limbs.shape[0]
+
     def comb_body(i, res):
         w = windows - 1 - i
         for _ in range(c):
@@ -128,8 +159,44 @@ def msm(points, scalars, c: int = 8):
         return _pin(cv.add(res, cv.gather_point(total, w)))
 
     res = _pin(cv.gather_point(total, windows - 1))
-    res = jax.lax.fori_loop(1, windows, comb_body, res)
-    return res
+    return jax.lax.fori_loop(1, windows, comb_body, res)
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def msm_planned(points, order, starts, counts, c: int = 8):
+    """MSM with a host-computed bucket plan, single fused program (for use
+    inside larger jitted computations; takes (order, starts, counts) from
+    host_bucket_plan as device operands)."""
+    acc = _bucket_accumulate(points, order, starts, counts, c)
+    total = _bucket_reduce(acc, c)
+    return _combine_windows(total, c)
+
+
+def msm(points, scalars, c: int = 8):
+    """MSM: sum_i scalars[i] * points[i].
+
+    points: projective triple of field_rr.RR with limbs int32[N, 32].
+    scalars: uint32[N, 16] standard-form Fr limbs (host numpy or device; the
+    bucket plan is computed host-side). Returns a single projective RR point.
+    """
+    order, starts, counts = host_bucket_plan(np.asarray(scalars), c)
+    return msm_planned(points, jnp.asarray(order), jnp.asarray(starts),
+                       jnp.asarray(counts), c=c)
+
+
+_accum_jit = functools.partial(jax.jit, static_argnames=("c",))(_bucket_accumulate)
+_reduce_jit = functools.partial(jax.jit, static_argnames=("c",))(_bucket_reduce)
+_combine_jit = functools.partial(jax.jit, static_argnames=("c",))(_combine_windows)
+
+
+def msm_staged(points, scalars, c: int = 8):
+    """Host bucket plan + three separately-jitted device phases
+    (intermediates stay on device; most robust on the axon backend)."""
+    order, starts, counts = host_bucket_plan(np.asarray(scalars), c)
+    acc = _accum_jit(points, jnp.asarray(order), jnp.asarray(starts),
+                     jnp.asarray(counts), c=c)
+    total = _reduce_jit(acc, c=c)
+    return _combine_jit(total, c=c)
 
 
 def msm_host(points_int, scalars_int, c: int = 8):
@@ -145,6 +212,6 @@ def msm_host(points_int, scalars_int, c: int = 8):
     scals = [s % fo.FR.modulus for s in scalars_int] + [0] * (padded - n)
     jpts = _pin(cv.from_affine_ints(pts))
     jscal = jnp.asarray(fo.ints_to_limbs(scals))
-    out = msm(jpts, jscal, c=c)
+    out = msm_staged(jpts, jscal, c=c)
     host = tuple(fr.RR(np.asarray(comp.limbs)[None], comp.bound) for comp in out)
     return cv.to_affine_ints(host)[0]

@@ -36,24 +36,39 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def msm_sharded(points, scalars, mesh: Mesh, c: int = 8, axis: str = "shard"):
-    """points: Jacobian triple uint32[N, 16]; scalars: uint32[N, 16].
-    N must be divisible by the mesh axis size (pad with identity upstream)."""
+def msm_sharded(points, scalars_np: np.ndarray, mesh: Mesh, c: int = 8,
+                axis: str = "shard"):
+    """points: projective RR triple with limbs int32[N, 32] (device);
+    scalars_np: uint32[N, 16] HOST numpy (the bucket plan is host-computed
+    per shard — see ops/msm.host_bucket_plan). N must be divisible by the
+    mesh axis size (pad with identity upstream)."""
+    ndev = mesh.shape[axis]
+    n = scalars_np.shape[0]
+    chunk = n // ndev
+    plans = [
+        msm_mod.host_bucket_plan(scalars_np[d * chunk : (d + 1) * chunk], c)
+        for d in range(ndev)
+    ]
+    order = jnp.asarray(np.stack([p[0] for p in plans]))    # (ndev, W, chunk)
+    starts = jnp.asarray(np.stack([p[1] for p in plans]))
+    counts = jnp.asarray(np.stack([p[2] for p in plans]))
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(
             (P(axis), P(axis), P(axis)),
-            P(axis),
+            P(axis), P(axis), P(axis),
         ),
         out_specs=(P(axis), P(axis), P(axis)),
     )
-    def _sharded(pts, scals):
-        local = msm_mod.msm(pts, scals, c=c)
+    def _sharded(pts, order_l, starts_l, counts_l):
+        local = msm_mod.msm_planned(
+            pts, order_l[0], starts_l[0], counts_l[0], c=c
+        )
         return tuple(frr.RR(comp.limbs[None], comp.bound) for comp in local)
 
-    partials = _sharded(points, scalars)  # leaves (ndev, 32) per component
+    partials = _sharded(points, order, starts, counts)  # leaves (ndev, 32)
     ndev = mesh.shape[axis]
 
     def at(d):
@@ -79,7 +94,7 @@ def msm_sharded_host(points_int, scalars_int, mesh: Mesh, c: int = 8,
     jpts = tuple(
         frr.with_bound(comp, msm_mod.CARRY_BOUND) for comp in cv.from_affine_ints(pts)
     )
-    jscal = jnp.asarray(fo.ints_to_limbs(scals))
-    out = msm_sharded(jpts, jscal, mesh, c=c, axis=axis)
+    scal_np = fo.ints_to_limbs(scals)
+    out = msm_sharded(jpts, scal_np, mesh, c=c, axis=axis)
     host = tuple(frr.RR(np.asarray(comp.limbs)[None], comp.bound) for comp in out)
     return cv.to_affine_ints(host)[0]

@@ -198,7 +198,8 @@ class BatchedVerifier:
         self.manifest = manifest
         self.run_tape = jax.jit(compile_tape(tape, batch))
         self.msm_window = msm_window
-        self._phase_b = jax.jit(self._build_phase_b())
+        self._phase_b1 = jax.jit(self._build_phase_b1())
+        self._phase_b2 = jax.jit(self._build_phase_b2())
 
     # -- host-side packing --------------------------------------------------
     def _pack_inputs(self, proofs: list[bytes], instances_per_lane: list):
@@ -257,43 +258,54 @@ class BatchedVerifier:
         return resolved
 
     # -- phase B ------------------------------------------------------------
-    def _build_phase_b(self):
+    # B1 (device): lambda-scale + canonicalize every MSM scalar and the
+    # leftover terms. HOST: bucket-plan the canonical scalars (see
+    # ops/msm.host_bucket_plan — device sort faulted the axon worker).
+    # B2 (device): planned Pippenger per schema + leftover generator terms.
+
+    def _padded_n(self, n_entries: int) -> int:
+        return 1 << max(3, (n_entries * self.batch - 1).bit_length())
+
+    def _build_phase_b1(self):
         plans = self.msm_plans
         batch = self.batch
-        window = self.msm_window
 
-        def phase_b(slots, lam_pows, points_wx, points_wg):
-            # lam_pows: (B, 32) RR Montgomery lambda^{B-1-b}
+        def phase_b1(slots, lam_pows):
             lam = fr.RR(lam_pows, 8)
-            outs = []
-            for (entries, leftover), pts in zip(plans, (points_wx, points_wg)):
+            scal16s, e16s = [], []
+            for entries, leftover in plans:
                 n = len(entries)
                 scal_slots = np.asarray([
                     (e[1].idx if isinstance(e[1], Slot) else 0) for e in entries
                 ], dtype=np.int32)
-                scal = fr.RR(slots[jnp.asarray(scal_slots)], fr.MUL_INPUT_BOUND)  # (n, B, 32)
+                scal = fr.RR(slots[jnp.asarray(scal_slots)], fr.MUL_INPUT_BOUND)
                 scal = fr.mont_mul(FR, scal, fr.RR(lam_pows[None], 8))
                 scal16 = fr.to_canonical16(FR, scal).reshape(n * batch, fo.LIMBS)
-                # pad to pow2
-                padded = 1 << max(3, (n * batch - 1).bit_length())
-                pad = padded - n * batch
-                scal16 = jnp.pad(scal16, ((0, pad), (0, 0)))
-                pt = tuple(
-                    fr.RR(
-                        jnp.pad(c.limbs.reshape(n * batch, fr.NLIMBS), ((0, pad), (0, 0))),
-                        msm_mod.CARRY_BOUND,
-                    )
-                    for c in pts
-                )
-                acc = msm_mod.msm(pt, scal16, c=window)
-                # leftover scalar: sum_b lam_b * leftover_b
+                pad = self._padded_n(n) - n * batch
+                scal16s.append(jnp.pad(scal16, ((0, pad), (0, 0))))
                 if leftover is not None:
-                    lv = fr.RR(slots[leftover.idx], fr.MUL_INPUT_BOUND)  # (B, 32)
+                    lv = fr.RR(slots[leftover.idx], fr.MUL_INPUT_BOUND)
                     lv = fr.mont_mul(FR, lv, lam)
                     total = fr.RR(jnp.sum(lv.limbs, axis=0),
                                   lv.bound + max(batch.bit_length(), 1))
                     total = fr.normalize(FR, total)
-                    e16 = fr.to_canonical16(FR, fr.RR(total.limbs[None], total.bound))
+                    e16s.append(fr.to_canonical16(
+                        FR, fr.RR(total.limbs[None], total.bound)))
+                else:
+                    e16s.append(None)
+            return scal16s, e16s
+
+        return phase_b1
+
+    def _build_phase_b2(self):
+        window = self.msm_window
+
+        def phase_b2(points_wx, points_wg, plans_dev, e16s):
+            outs = []
+            for pts, plan, e16 in zip((points_wx, points_wg), plans_dev, e16s):
+                order, starts, counts = plan
+                acc = msm_mod.msm_planned(pts, order, starts, counts, c=window)
+                if e16 is not None:
                     gen = tuple(
                         fr.with_bound(c, msm_mod.CARRY_BOUND)
                         for c in cvr.from_affine_ints([ff.G1_GEN])
@@ -306,7 +318,7 @@ class BatchedVerifier:
                     outs.append((acc, None))
             return outs
 
-        return phase_b
+        return phase_b2
 
     # -- public API ---------------------------------------------------------
     def verify(self, proofs: list[bytes], instances_per_lane: list):
@@ -327,14 +339,24 @@ class BatchedVerifier:
 
         pts_resolved = self._entry_points(proofs, commits)
         device_pts = []
-        for pts in pts_resolved:
+        for pts, (entries, _l) in zip(pts_resolved, self.msm_plans):
             flat = [p for entry in pts for p in entry]  # (n*B) order: entry-major
+            flat += [None] * (self._padded_n(len(entries)) - len(flat))
             device_pts.append(tuple(
                 fr.with_bound(c, msm_mod.CARRY_BOUND)
                 for c in cvr.from_affine_ints(flat)
             ))
 
-        outs = self._phase_b(slots, jnp.asarray(lam_pows), *device_pts)
+        scal16s, e16s = self._phase_b1(slots, jnp.asarray(lam_pows))
+        plans_dev = []
+        for scal16 in scal16s:
+            order, starts, counts = msm_mod.host_bucket_plan(
+                np.asarray(scal16), self.msm_window
+            )
+            plans_dev.append(
+                (jnp.asarray(order), jnp.asarray(starts), jnp.asarray(counts))
+            )
+        outs = self._phase_b2(*device_pts, plans_dev, e16s)
 
         results = []
         for acc, gterm in outs:
