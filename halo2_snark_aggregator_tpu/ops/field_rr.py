@@ -238,23 +238,19 @@ def scale_small(spec: RRSpec, a: RR, k: int) -> RR:
     return out
 
 
-_SKEW_IDX = (
-    (np.arange(2 * NLIMBS)[None, :] - np.arange(NLIMBS)[:, None]) % (2 * NLIMBS)
-).astype(np.int32)
-
-
 def _conv(a_limbs, b_limbs):
-    """Schoolbook 32x32 convolution columns (64 wide).
+    """Schoolbook 32x32 convolution columns (64 wide) via static pads.
 
-    One gather skews row i of the outer-product matrix right by i (zeros in
-    the padding wrap), then a single reduction sums the columns — 4 XLA ops
-    total instead of 32 pad+add pairs (compile time and fusion win)."""
-    prod = a_limbs[..., :, None] * b_limbs[..., None, :]  # (..., 32, 32)
-    zpad = [(0, 0)] * (prod.ndim - 1)
-    padded = jnp.pad(prod, zpad + [(0, NLIMBS)])  # (..., 32, 64)
-    idx = jnp.broadcast_to(jnp.asarray(_SKEW_IDX), padded.shape)
-    skewed = jnp.take_along_axis(padded, idx, axis=-1)
-    return jnp.sum(skewed, axis=-2)  # int32[..., 64]
+    NOTE: a take_along_axis "skew gather" variant is 8x fewer XLA ops but
+    general gathers lower to scalar loads on TPU (observed ~100x slower
+    execution); static pads + adds stay fully vectorized."""
+    prod = a_limbs[..., :, None] * b_limbs[..., None, :]
+    zpad = [(0, 0)] * (prod.ndim - 2)
+    total = None
+    for i in range(NLIMBS):
+        row = jnp.pad(prod[..., i, :], zpad + [(i, NLIMBS - i)])
+        total = row if total is None else total + row
+    return total  # int32[..., 64]
 
 
 def mont_mul(spec: RRSpec, a: RR, b: RR) -> RR:
