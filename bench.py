@@ -122,10 +122,52 @@ def bench_aggregation(use_tpu: bool = True):
     }
 
 
+def bench_batched():
+    """Fully-traced batched verifier (tape phase A + flattened MSM phase B)."""
+    _configure_jax()
+    from halo2_snark_aggregator_tpu.circuits.simple import SimpleMulCircuit
+    from halo2_snark_aggregator_tpu.protocol.batched import BatchedVerifier
+    from halo2_snark_aggregator_tpu.prover.keygen import keygen
+    from halo2_snark_aggregator_tpu.prover.kzg import ParamsKZG
+    from halo2_snark_aggregator_tpu.prover.prove import create_proof
+    from halo2_snark_aggregator_tpu.transcript.host import PoseidonWrite
+
+    nproofs = int(os.environ.get("BENCH_NPROOFS", "8"))
+    k = SimpleMulCircuit.K
+    params = ParamsKZG.setup_cached(k)
+    circuit = SimpleMulCircuit(2, 3)
+    vk, pk = keygen(circuit, k, params)
+    proofs, insts = [], []
+    for i in range(nproofs):
+        c = SimpleMulCircuit(2 + i, 3 + i)
+        proofs.append(create_proof(pk, params, [c], [c.instances()],
+                                   PoseidonWrite(), seed=i))
+        insts.append(c.instances())
+
+    bv = BatchedVerifier(vk, params, batch=nproofs, sample_proof=proofs[0],
+                         sample_instances=insts[0])
+    *_pair, ok = bv.verify(proofs, insts)  # warm
+    assert ok
+    t0 = time.time()
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    for _ in range(reps):
+        *_pair, ok = bv.verify(proofs, insts)
+        assert ok
+    dt = (time.time() - t0) / reps
+    return {
+        "metric": "aggregated_proofs_verified_per_sec",
+        "value": round(nproofs / dt, 3),
+        "unit": f"proofs/s (batched-traced, batch {nproofs}, 1 chip, incl. pairing)",
+        "vs_baseline": round(nproofs / dt / 32.0, 4),
+    }
+
+
 if __name__ == "__main__":
     try:
         if os.environ.get("BENCH_MSM"):
             result = bench_msm()
+        elif os.environ.get("BENCH_BATCHED"):
+            result = bench_batched()
         else:
             result = bench_aggregation()
     except Exception as exc:  # TPU worker faults must not lose the datapoint
