@@ -72,7 +72,7 @@ def bench_aggregation(use_tpu: bool = True):
     from halo2_snark_aggregator_tpu.prover.prove import create_proof
     from halo2_snark_aggregator_tpu.transcript.host import PoseidonWrite
 
-    nproofs = int(os.environ.get("BENCH_NPROOFS", "8"))
+    nproofs = int(os.environ.get("BENCH_NPROOFS", "32"))  # measured sweet spot
     k = SimpleMulCircuit.K
     params = ParamsKZG.setup_cached(k)
     circuit = SimpleMulCircuit(2, 3)
@@ -109,7 +109,7 @@ def bench_aggregation(use_tpu: bool = True):
 
     run_once()  # warm (jit compile of the MSM kernel)
     t0 = time.time()
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "2"))
     for _ in range(reps):
         run_once()
     dt = (time.time() - t0) / reps
