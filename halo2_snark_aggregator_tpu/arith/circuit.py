@@ -7,15 +7,19 @@ every chip call lays down base-gate rows, producing the aggregation circuit.
 
 `CircuitFieldChip` implements the FieldChip interface over the universal base
 gate (scalar_chip.rs:10-127 analog; div -> div_unsafe at :92-99).
-`CircuitEccChip` (non-native points over the integer chip) lands with the
-in-circuit MSM in a later round; its point type already carries the
-(x, y, z-flag) layout of the reference's AssignedPoint.
+`CircuitEccChip` adapts the non-native gadget EccChip to the protocol's
+EccChip interface (ecc_chip.rs:14-133: multi_exp -> shamir at :126-133,
+scalar_mul -> windowed mul, scalar_mul_constant -> constant_mul); point
+encoding for transcript absorption returns the reduced coordinates' native
+companions (encode_chip.rs:15-33).
 """
 
 from __future__ import annotations
 
+from ..ff import bn254 as ff
 from ..gadgets.base_gate import AssignedCell, BaseGate, Context
-from .api import FieldChip
+from ..gadgets.ecc_chip import AssignedPoint, EccChip as GadgetEccChip
+from .api import EccChip, FieldChip
 
 
 class CircuitFieldChip(FieldChip):
@@ -58,3 +62,69 @@ class CircuitFieldChip(FieldChip):
 
     def mul_add_constant(self, ctx, a, b, c):
         return self.gate.mul_add_constant(ctx, a, b, c)
+
+
+class CircuitEccChip(EccChip):
+    """EccChip over the non-native gadget chip (reference
+    halo2-snark-aggregator-circuit/src/chips/ecc_chip.rs:14-133).
+
+    AssignedPoint = gadget (x, y: AssignedInteger over Fq, z: identity bit).
+    """
+
+    def __init__(self, gadget: GadgetEccChip):
+        self.gadget = gadget
+        self.scalar_chip = CircuitFieldChip(gadget.integer.gate)
+        self.native_chip = self.scalar_chip
+
+    def assign_const(self, ctx, pt) -> AssignedPoint:
+        return self.gadget.assign_constant_point(ctx, pt)
+
+    def assign_var(self, ctx, pt) -> AssignedPoint:
+        return self.gadget.assign_point(ctx, pt)
+
+    def assign_zero(self, ctx) -> AssignedPoint:
+        return self.gadget.assign_identity(ctx)
+
+    def assign_one(self, ctx) -> AssignedPoint:
+        return self.gadget.assign_constant_point(ctx, ff.G1_GEN)
+
+    def to_value(self, p: AssignedPoint):
+        return p.value(self.gadget)
+
+    def add(self, ctx, p1, p2):
+        return self.gadget.add(ctx, p1, p2)
+
+    def sub(self, ctx, p1, p2):
+        return self.gadget.add(ctx, p1, self.gadget.neg(ctx, p2))
+
+    def neg(self, ctx, p):
+        return self.gadget.neg(ctx, p)
+
+    def normalize(self, ctx, p: AssignedPoint) -> AssignedPoint:
+        """Reduce coordinates to their canonical limb ranges
+        (ecc_chip.rs reduce at 528-581)."""
+        integer = self.gadget.integer
+        x = integer.reduce(ctx, p.x) if p.x.overflow else p.x
+        y = integer.reduce(ctx, p.y) if p.y.overflow else p.y
+        return AssignedPoint(x, y, p.z)
+
+    def scalar_mul(self, ctx, scalar, p):
+        if p.const_value is not None:
+            # constant point: windowed constant tables, no in-circuit doubles
+            return self.gadget.constant_mul(ctx, scalar, p.const_value)
+        return self.gadget.scalar_mul(ctx, scalar, p)
+
+    def scalar_mul_constant(self, ctx, scalar, const_pt):
+        return self.gadget.constant_mul(ctx, scalar, const_pt)
+
+    def multi_exp(self, ctx, points, scalars, names=None):
+        if not points:
+            return self.assign_zero(ctx)
+        return self.gadget.shamir(ctx, points, scalars)
+
+    def coords_in_native(self, ctx, nchip, p: AssignedPoint):
+        """(x, y) base coords cast into the native field for transcript
+        absorption (encode_chip.rs:15-33): the native companions of the
+        REDUCED coordinates."""
+        q = self.normalize(ctx, p)
+        return q.x.native, q.y.native

@@ -30,6 +30,9 @@ class AssignedPoint:
     x: AssignedInteger
     y: AssignedInteger
     z: AssignedCell  # identity flag bit
+    # host affine value when the point was assigned as a CONSTANT; lets the
+    # MSM build its candidate tables as constants instead of in-circuit adds
+    const_value: object = None
 
     def value(self, chip: "EccChip"):
         if int(self.z):
@@ -78,6 +81,7 @@ class EccChip:
             chip.assign_constant(ctx, pt[0]),
             chip.assign_constant(ctx, pt[1]),
             gate.assign_constant(ctx, 0),
+            const_value=(pt[0] % chip.f.modulus, pt[1] % chip.f.modulus),
         )
 
     def assign_identity(self, ctx: Context) -> AssignedPoint:
@@ -105,7 +109,12 @@ class EccChip:
         return chip.div_unsafe(ctx, three_x2, safe)
 
     def add(self, ctx, p1: AssignedPoint, p2: AssignedPoint) -> AssignedPoint:
-        """Complete addition via lambda-select (ecc_chip.rs:383-408)."""
+        """Complete addition via lambda-select (ecc_chip.rs:383-408).
+
+        One shared division: lam = (eq_x ? 3x1^2 : dy) / (eq_x ? 2y1 : dx),
+        selecting numerator/denominator BEFORE the division instead of
+        computing both the chord and tangent lambdas (halves the dominant
+        wrong-field division cost per add)."""
         chip = self.integer
         gate = chip.gate
 
@@ -114,11 +123,16 @@ class EccChip:
         eq_x = chip.is_zero(ctx, dx)
         eq_y = chip.is_zero(ctx, dy)
 
+        x1sq = chip.square(ctx, p1.x)
+        three_x1sq = chip.add(ctx, chip.add(ctx, x1sq, x1sq), x1sq)
+        two_y1 = chip.add(ctx, p1.y, p1.y)
+        num = chip.bisec(ctx, eq_x, three_x1sq, dy)
+        den_raw = chip.bisec(ctx, eq_x, two_y1, dx)
+        # guard: when p1 is the identity (y1 = 0) and eq_x, divide by 1
         one = chip.assign_constant(ctx, 1)
-        safe_dx = chip.bisec(ctx, eq_x, one, dx)
-        lam_chord = chip.div_unsafe(ctx, dy, safe_dx)
-        lam_tan = self._lambda_tangent(ctx, p1)
-        lam = chip.bisec(ctx, eq_x, lam_tan, lam_chord)
+        is_bad = gate.mul(ctx, eq_x, p1.z)
+        den = chip.bisec(ctx, is_bad, one, den_raw)
+        lam = chip.div_unsafe(ctx, num, den)
 
         x3 = chip.sub(ctx, chip.sub(ctx, chip.square(ctx, lam), p1.x), p2.x)
         y3 = chip.sub(ctx, chip.mul(ctx, lam, chip.sub(ctx, p1.x, x3)), p1.y)
@@ -168,23 +182,114 @@ class EccChip:
         gate.assert_equal(ctx, scalar, recombined)
         return bits
 
+    # -- windowed simultaneous MSM (ecc_chip.rs:139-244) --------------------
+    WINDOW = 4  # ecc_chip.rs:70
+
+    def _select_candidate(self, ctx, candidates: list[AssignedPoint],
+                          bits: list[AssignedCell]) -> AssignedPoint:
+        """Binary bisec tree over 2^len(bits) candidates, bits LSB-first
+        (the reference's candidate-pick tree, ecc_chip.rs:86-138)."""
+        level = candidates
+        for b in bits:
+            nxt = []
+            for j in range(0, len(level), 2):
+                nxt.append(self.bisec_point(ctx, b, level[j + 1], level[j]))
+            level = nxt
+        assert len(level) == 1
+        return level[0]
+
+    def shamir(self, ctx, points: list[AssignedPoint],
+               scalars: list[AssignedCell]) -> AssignedPoint:
+        """Simultaneous windowed MSM: per-point candidate tables
+        [O, P, 2P, .., (2^W-1)P], then per 4-bit window (MSB first) W shared
+        doubles + one table-select + one add per point (ecc_chip.rs:139-244)."""
+        assert len(points) == len(scalars) and points
+        w = self.WINDOW
+        bits_list = [self.decompose_scalar(ctx, s) for s in scalars]
+
+        tables = []
+        for p in points:
+            if p.const_value is not None:
+                # constant point: the whole candidate table is constant
+                cands = [self.assign_constant_point(ctx, self._host_mul(p.const_value, c))
+                         for c in range(1 << w)]
+            else:
+                cands = [self.assign_identity(ctx), p]
+                for _ in range(2, 1 << w):
+                    cands.append(self.add(ctx, cands[-1], p))
+            tables.append(cands)
+
+        rounds = -(-self.scalar_bits // w)
+        acc = None
+        for r in reversed(range(rounds)):
+            if acc is not None:
+                for _ in range(w):
+                    acc = self.double(ctx, acc)
+            for cands, bits in zip(tables, bits_list):
+                wbits = bits[r * w : (r + 1) * w]
+                sel = self._select_candidate(ctx, cands[: 1 << len(wbits)], wbits)
+                if acc is None:
+                    acc = sel
+                else:
+                    acc = self.add(ctx, acc, sel)
+        return acc
+
     def scalar_mul(self, ctx, scalar: AssignedCell, p: AssignedPoint) -> AssignedPoint:
+        """Windowed scalar mul = single-point shamir (ecc_chip.rs:86-138)."""
+        return self.shamir(ctx, [p], [scalar])
+
+    # host-side curve law over the chip's own field (parametric: the gadget
+    # runs over toy curves in tests and BN254 G1 in production)
+    def _host_add(self, p1, p2):
+        W = self.integer.f.modulus
+        if p1 is None:
+            return p2
+        if p2 is None:
+            return p1
+        x1, y1 = p1
+        x2, y2 = p2
+        if x1 == x2:
+            if (y1 + y2) % W == 0:
+                return None
+            lam = 3 * x1 * x1 * pow(2 * y1, -1, W) % W
+        else:
+            lam = (y2 - y1) * pow(x2 - x1, -1, W) % W
+        x3 = (lam * lam - x1 - x2) % W
+        return (x3, (lam * (x1 - x3) - y1) % W)
+
+    def _host_mul(self, p, k: int):
+        acc = None
+        add = p
+        while k:
+            if k & 1:
+                acc = self._host_add(acc, add)
+            add = self._host_add(add, add)
+            k >>= 1
+        return acc
+
+    def constant_mul(self, ctx, scalar: AssignedCell, pt) -> AssignedPoint:
+        """scalar * constant point: host-precomputed per-window multiples
+        (c * 2^(W*j) * P assigned as constants), no in-circuit doubles
+        (ecc_chip.rs:245-279 constant_mul, widened from the reference's 2-bit
+        window since constant candidates cost no constraint rows beyond
+        assignment)."""
+        w = self.WINDOW
         bits = self.decompose_scalar(ctx, scalar)
-        acc = self.assign_identity(ctx)
-        for b in reversed(bits):
-            acc = self.double(ctx, acc)
-            added = self.add(ctx, acc, p)
-            acc = self.bisec_point(ctx, b, added, acc)
+        rounds = -(-self.scalar_bits // w)
+        acc = None
+        for j in range(rounds):
+            wbits = bits[j * w : (j + 1) * w]
+            base = self._host_mul(pt, 1 << (w * j))
+            cands = [self.assign_constant_point(ctx, self._host_mul(base, c))
+                     for c in range(1 << len(wbits))]
+            sel = self._select_candidate(ctx, cands, wbits)
+            acc = sel if acc is None else self.add(ctx, acc, sel)
         return acc
 
     def multi_exp(self, ctx, points: list[AssignedPoint], scalars: list[AssignedCell]) -> AssignedPoint:
-        acc = None
-        for p, s in zip(points, scalars):
-            t = self.scalar_mul(ctx, s, p)
-            acc = t if acc is None else self.add(ctx, acc, t)
-        if acc is None:
-            acc = self.assign_identity(ctx)
-        return acc
+        if not points:
+            return self.assign_identity(ctx)
+        return self.shamir(ctx, points, scalars)
 
     def assert_equal(self, ctx, p1: AssignedPoint, p2: AssignedPoint):
         gate = self.integer.gate

@@ -52,12 +52,20 @@ FQ_OVER_FR = WrongField(modulus=BN254_FQ, limb_bits=68)
 class AssignedInteger:
     """limbs are base-gate cells whose values may exceed limb_bits by
     `overflow` bits (redundant representation); `value` is the exact integer
-    sum(limb_i 2^(limb_bits*i)); `native` is value mod r in-circuit."""
+    sum(limb_i 2^(limb_bits*i)); `native` is value mod r in-circuit.
+
+    `bound_bits` is the static CONSTRAINT-derived bound value < 2^bound_bits
+    (tighter than what `overflow` implies: a freshly ranged integer is
+    < 2^w_ceil_bits because its top limb is range-checked to the w_ceil
+    remainder, not a full limb). It drives the d-witness widths and the CRT
+    soundness budget of mul/mul_match — the analog of the reference's
+    overflow-counter bound a < overflows*W (five/integer_chip.rs:21-25)."""
 
     limbs: list[AssignedCell]
     native: AssignedCell
     value: int
     overflow: int  # extra bits beyond limb_bits any limb may carry
+    bound_bits: int = 0  # value < 2^bound_bits (0 = derive from overflow)
 
 
 class IntegerChip:
@@ -92,24 +100,29 @@ class IntegerChip:
             if i == NLIMBS - 1:
                 bits = f.w_ceil_bits - f.limb_bits * (NLIMBS - 1)
             cells.append(self.rgate.assign_ranged(ctx, lv, bits))
-        return AssignedInteger(cells, self._native_of(ctx, cells), v, 0)
+        return AssignedInteger(cells, self._native_of(ctx, cells), v, 0,
+                               f.w_ceil_bits)
 
     def assign_constant(self, ctx: Context, v: int) -> AssignedInteger:
         f = self.f
         v %= f.modulus
         cells = [self.gate.assign_constant(ctx, lv) for lv in f.to_limbs(v)]
-        return AssignedInteger(cells, self._native_of(ctx, cells), v, 0)
+        return AssignedInteger(cells, self._native_of(ctx, cells), v, 0,
+                               f.w_ceil_bits)
 
     # -- linear ops --------------------------------------------------------
     def add(self, ctx, a: AssignedInteger, b: AssignedInteger) -> AssignedInteger:
         limbs = [self.gate.add(ctx, x, y) for x, y in zip(a.limbs, b.limbs)]
         native = self.gate.add(ctx, a.native, b.native)
         out = AssignedInteger(limbs, native, a.value + b.value,
-                              max(a.overflow, b.overflow) + 1)
+                              max(a.overflow, b.overflow) + 1,
+                              max(self._value_bits(a), self._value_bits(b)) + 1)
         return self._maybe_reduce(ctx, out)
 
     def _value_bits(self, a: AssignedInteger) -> int:
         """Static bound: a.value < 2^_value_bits(a)."""
+        if a.bound_bits:
+            return a.bound_bits
         return self.f.limb_bits * NLIMBS + a.overflow + 2
 
     def _padding_multiple(self, b: AssignedInteger) -> tuple[int, list[int]]:
@@ -147,7 +160,8 @@ class IntegerChip:
         assert value >= 0
         # result limb < 2^(lb + a.ov) + pad_top; pad limbs ~ 2^(lb + b.ov + 3)
         ov_bits = max(a.overflow, b.overflow + 3) + 1
-        out = AssignedInteger(limbs, native, value, ov_bits)
+        out = AssignedInteger(limbs, native, value, ov_bits,
+                              max(self._value_bits(a), pad_val.bit_length()) + 1)
         return self._maybe_reduce(ctx, out)
 
     def neg(self, ctx, a: AssignedInteger) -> AssignedInteger:
@@ -159,6 +173,19 @@ class IntegerChip:
         if a.overflow > self.OVERFLOW_BITS_LIMIT:
             return self.reduce(ctx, a)
         return a
+
+    def _crt_budget_reduce(self, ctx, a: AssignedInteger, b: AssignedInteger):
+        """CRT soundness guard for mul/mul_match: the slice+native checks are
+        exact only while |a*b ± pads| < 2^(4*lb) * r / 2; reduce the fatter
+        operand until the static bounds fit the budget."""
+        budget = 4 * self.f.limb_bits + R.bit_length() - 4
+        assert 2 * self.f.w_ceil_bits <= budget, "field shape breaks CRT budget"
+        while self._value_bits(a) + self._value_bits(b) > budget:
+            if self._value_bits(a) >= self._value_bits(b):
+                a = self.reduce(ctx, a)
+            else:
+                b = self.reduce(ctx, b)
+        return a, b
 
     def reduce(self, ctx, a: AssignedInteger) -> AssignedInteger:
         """a = d*W + rem with small d; rem freshly range-checked
@@ -205,6 +232,7 @@ class IntegerChip:
         (five/integer_chip.rs:104-287)."""
         f = self.f
         lb = f.limb_bits
+        a, b = self._crt_budget_reduce(ctx, a, b)
         prod = a.value * b.value
         d = prod // f.modulus
         rem = prod % f.modulus
@@ -298,6 +326,100 @@ class IntegerChip:
                 total += int(a.limbs[i]) * int(b.limbs[j])
         return total
 
+    def mul_match(self, ctx, a: AssignedInteger, b: AssignedInteger,
+                  c: AssignedInteger) -> None:
+        """Enforce a*b ≡ c (mod W) WITHOUT materializing the product:
+        a*b + pad - c = d*W over the integers (pad a multiple of W whose limb
+        split dominates c's limbs, so d >= 0), checked mod r (native row) and
+        mod 2^(4*limb_bits) via the same limb-pair slice scheme as `mul`.
+
+        This is the row-count backbone of in-circuit division and equality
+        (the reference reaches its ~66-rows-per-point-op density with
+        equivalent fused checks, five/integer_chip.rs:745-782)."""
+        f = self.f
+        lb = f.limb_bits
+        a, b = self._crt_budget_reduce(ctx, a, b)
+        pad_val, pad_limbs = self._padding_multiple(c)
+        total = a.value * b.value + pad_val - c.value
+        assert total >= 0 and total % f.modulus == 0, "mul_match witness mismatch"
+        d = total // f.modulus
+
+        d_bits = max(
+            self._value_bits(a) + self._value_bits(b), pad_val.bit_length()
+        ) - f.w_ceil_bits + 2
+        d_top_bits = max(d_bits - lb * (NLIMBS - 1), 1)
+        d_top = d >> (lb * (NLIMBS - 1))
+        d_limbs_v = [(d >> (lb * i)) & f.limb_mask for i in range(NLIMBS - 1)] + [d_top]
+        assert d_top < (1 << d_top_bits), "d exceeds static bound"
+        d_cells = []
+        for i in range(NLIMBS):
+            if i < NLIMBS - 1:
+                d_cells.append(self.rgate.assign_ranged(ctx, d_limbs_v[i], lb))
+            else:
+                d_cells.append(self.rgate.assign_ranged(ctx, d_top, d_top_bits))
+        d_native = self._native_of(ctx, d_cells)
+
+        # native row: a.native*b.native + pad - c.native - d.native*W = 0 (mod r)
+        ab_native = self.gate.mul(ctx, a.native, b.native)
+        self.gate.one_line(
+            ctx,
+            [pair(ab_native, 1), pair(d_native, (-self._w_native) % R),
+             pair(c.native, R - 1)],
+            constant=pad_val % R,
+        )
+
+        # conv columns of a*b for the checked slices
+        nslice_limbs = 4
+        conv_cells = []
+        for k in range(nslice_limbs):
+            acc = None
+            for i in range(NLIMBS):
+                j = k - i
+                if 0 <= j < NLIMBS:
+                    if acc is None:
+                        acc = self.gate.mul(ctx, a.limbs[i], b.limbs[j])
+                    else:
+                        acc = self.gate.mul_add(ctx, a.limbs[i], b.limbs[j], acc)
+            conv_cells.append(acc)
+
+        # slice checks with signed carries (same scheme as mul, with the
+        # +pad_k constant and -c_k cell terms replacing -rem_k)
+        carry_val = 0
+        carry_cell = None
+        c_bits = lb + a.overflow + b.overflow + max(c.overflow, d_top_bits - lb, 0) + 8
+        assert c_bits + 2 * lb + 2 < R.bit_length(), "carry width unsound"
+        for s in range(2):
+            terms = []
+            const = 0
+            int_val = carry_val
+            for t_i, k in enumerate((2 * s, 2 * s + 1)):
+                shift = pow(2, lb * t_i, R)
+                shift_int = 1 << (lb * t_i)
+                terms.append((conv_cells[k], shift))
+                int_val += self._conv_int(a, b, k) * shift_int
+                const = (const + pad_limbs[k] * shift) % R
+                int_val += pad_limbs[k] * shift_int
+                for i in range(NLIMBS):
+                    j = k - i
+                    if 0 <= j < NLIMBS:
+                        terms.append((d_cells[i], (-(self._w_limbs[j])) % R * shift % R))
+                        int_val -= d_limbs_v[i] * self._w_limbs[j] * shift_int
+                terms.append((c.limbs[k], (-shift) % R))
+                int_val -= int(c.limbs[k]) * shift_int
+            if carry_cell is not None:
+                terms.append((carry_cell, 1))
+                const = (const - (1 << (c_bits - 1))) % R  # remove previous offset
+            assert int_val % (1 << (2 * lb)) == 0, "slice not divisible"
+            c_new = int_val >> (2 * lb)
+            offset = 1 << (c_bits - 1)
+            c_cell = self.rgate.assign_ranged(ctx, c_new + offset, c_bits)
+            terms.append((c_cell, (-(1 << (2 * lb))) % R))
+            total_const = (const + (offset << (2 * lb))) % R
+            lhs = self.gate.sum_with_coeff_and_constant(ctx, terms, total_const)
+            self.gate.assert_constant(ctx, lhs, 0)
+            carry_val = c_new
+            carry_cell = c_cell
+
     def square(self, ctx, a):
         return self.mul(ctx, a, a)
 
@@ -325,18 +447,84 @@ class IntegerChip:
         )
         return z
 
+    def get_last_bit(self, ctx, a: AssignedInteger) -> AssignedCell:
+        """Parity bit of a reduced integer (five/integer_chip.rs:874-901):
+        witness limb0 = 2*half + bit with half range-checked to limb_bits-1
+        and bit boolean. Used for y-coordinate parity in the final-pair
+        instance packing (verify_circuit.rs:281-284)."""
+        assert a.overflow == 0, "get_last_bit requires a reduced integer"
+        v = int(a.limbs[0])
+        bit = v & 1
+        half = v >> 1
+        h_cell = self.rgate.assign_ranged(ctx, half, self.f.limb_bits - 1)
+        b_cell = self.gate.assign(ctx, bit)
+        self.gate.assert_bit(ctx, b_cell)
+        # limb0 - 2*half - bit = 0
+        self.gate.one_line(
+            ctx, [pair(a.limbs[0], R - 1), pair(h_cell, 2), pair(b_cell, 1)]
+        )
+        return b_cell
+
     def assert_equal(self, ctx, a: AssignedInteger, b: AssignedInteger):
-        d = self.sub(ctx, a, b)
-        z = self.is_zero(ctx, d)
-        self.gate.assert_true(ctx, z)
+        """Enforce a ≡ b (mod W) directly: a + pad - b = d*W over the
+        integers, checked exactly per limb with chained signed carries and a
+        zero final carry (no CRT needed — the limb chain covers the full
+        value). ~20 rows vs the old sub+is_zero path's ~120."""
+        f = self.f
+        lb = f.limb_bits
+        pad_val, pad_limbs = self._padding_multiple(b)
+        total = a.value + pad_val - b.value
+        assert total >= 0 and total % f.modulus == 0, "assert_equal witness mismatch"
+        d = total // f.modulus
+        d_bits = max(self._value_bits(a), pad_val.bit_length()) - f.w_ceil_bits + 2
+        assert 0 <= d < (1 << d_bits)
+        d_cell = self.rgate.assign_ranged(ctx, d, d_bits)
+
+        # native row: a.native + pad - b.native - d*W = 0 (mod r)
+        self.gate.one_line(
+            ctx,
+            [pair(a.native, 1), pair(b.native, R - 1),
+             pair(d_cell, (-self._w_native) % R)],
+            constant=pad_val % R,
+        )
+
+        # per-limb: a_k + pad_k - b_k - d*W_k + carry_{k-1} = carry_k * 2^lb,
+        # carries signed (offset-encoded, range-checked); final carry = 0
+        c_bits = max(a.overflow, b.overflow + 3, d_bits) + 3
+        offset = 1 << (c_bits - 1)
+        carry_cell = None
+        carry_val = 0
+        for k in range(NLIMBS):
+            v = (int(a.limbs[k]) + pad_limbs[k] - int(b.limbs[k])
+                 - d * self._w_limbs[k] + carry_val)
+            terms = [
+                (a.limbs[k], 1),
+                (b.limbs[k], R - 1),
+                (d_cell, (-self._w_limbs[k]) % R),
+            ]
+            const = pad_limbs[k] % R
+            if carry_cell is not None:
+                terms.append((carry_cell, 1))
+                const = (const - offset) % R
+            if k < NLIMBS - 1:
+                assert v % (1 << lb) == 0, "limb chain not divisible"
+                carry_val = v >> lb
+                assert -offset <= carry_val < offset, "carry exceeds bound"
+                carry_cell = self.rgate.assign_ranged(ctx, carry_val + offset, c_bits)
+                terms.append((carry_cell, (-(1 << lb)) % R))
+                const = (const + ((offset << lb) % R)) % R
+            else:
+                assert v == 0, "final carry nonzero"
+            self.gate.one_line(ctx, [pair(t, c) for t, c in terms], constant=const)
 
     def div_unsafe(self, ctx, a: AssignedInteger, b: AssignedInteger) -> AssignedInteger:
-        """c = a/b via c*b = a (b must be invertible mod W)."""
+        """c = a/b via the fused constraint c*b ≡ a (mod W) (b must be
+        invertible mod W; the reference ScalarChip div -> div_unsafe parity,
+        five/integer_chip.rs:745-782 without the b=0 completeness branch)."""
         f = self.f
         c_val = a.value % f.modulus * pow(b.value % f.modulus, -1, f.modulus) % f.modulus
         c = self.assign_w(ctx, c_val)
-        cb = self.mul(ctx, c, b)
-        self.assert_equal(ctx, cb, a)
+        self.mul_match(ctx, c, b, a)
         return c
 
     def bisec(self, ctx, cond, a: AssignedInteger, b: AssignedInteger) -> AssignedInteger:
@@ -344,4 +532,5 @@ class IntegerChip:
         limbs = [gate.bisec(ctx, cond, x, y) for x, y in zip(a.limbs, b.limbs)]
         native = gate.bisec(ctx, cond, a.native, b.native)
         value = a.value if int(cond) else b.value
-        return AssignedInteger(limbs, native, value, max(a.overflow, b.overflow))
+        return AssignedInteger(limbs, native, value, max(a.overflow, b.overflow),
+                               max(self._value_bits(a), self._value_bits(b)))

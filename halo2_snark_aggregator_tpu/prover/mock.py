@@ -4,11 +4,20 @@ The halo2 `MockProver` equivalent (the reference's gadget and integration
 tests all assert `MockProver::verify()` — SURVEY §4). Evaluates every gate
 polynomial on every row, checks copy (equality) constraints cell-by-cell, and
 checks each lookup argument by multiset inclusion over the usable rows.
+
+Row evaluation is vectorized over numpy object arrays (python-int elements):
+the aggregation circuit (circuits/aggregator.py) assigns millions of rows, so
+per-row Python loops are replaced by elementwise array arithmetic. Circuits
+may set `assigner.used_rows_hint` after synthesis to bound the scan: rows
+beyond the hint were never assigned, remain at the zero default, and satisfy
+every (selector-gated) constraint vacuously.
 """
 
 from __future__ import annotations
 
 import dataclasses
+
+import numpy as np
 
 from ..ff.bn254 import R
 from ..protocol.plonk import Circuit, ConstraintSystem, Expression
@@ -32,61 +41,86 @@ class MockProver:
         self.cs = cs
         self.n = n
         self.usable = usable
+        hint = getattr(assignment, "used_rows_hint", None)
+        self.check_rows = min(usable, hint) if hint else usable
         self.assignment = assignment
+        self._col_cache: dict = {}
 
-    def _rows(self, kind: str, col: int, rot: int) -> list[int]:
-        n = self.n
-        if kind == "fixed":
-            base = self.assignment.fixed[col]
-        elif kind == "advice":
-            base = self.assignment.advice[col]
-        else:
-            vals = self.assignment.instances[col]
-            base = [vals[i] if i < len(vals) else 0 for i in range(n)]
-        return [base[(i + rot) % n] for i in range(n)]
+    def _rows(self, kind: str, col: int, rot: int) -> np.ndarray:
+        """Column values rotated by `rot`, as an object ndarray of length
+        check_rows (wraparound over the full domain, matching halo2)."""
+        key = (kind, col)
+        base = self._col_cache.get(key)
+        if base is None:
+            n = self.n
+            if kind == "fixed":
+                vals = self.assignment.fixed[col]
+            elif kind == "advice":
+                vals = self.assignment.advice[col]
+            else:
+                v = self.assignment.instances[col]
+                vals = v + [0] * (n - len(v))
+            base = np.empty(n, dtype=object)
+            base[:] = vals
+            self._col_cache[key] = base
+        if rot:
+            base = np.roll(base, -rot)
+        return base[: self.check_rows]
 
-    def _expr_rows(self, e: Expression) -> list[int]:
+    def _expr_rows(self, e: Expression) -> np.ndarray:
         cs = self.cs
-        n = self.n
+        m = self.check_rows
+
+        def const(v):
+            a = np.empty(m, dtype=object)
+            a[:] = v
+            return a
+
         return e.evaluate(
-            constant=lambda v: [v] * n,
+            constant=const,
             fixed=lambda q: self._rows("fixed", *cs.fixed_queries[q]),
             advice=lambda q: self._rows("advice", *cs.advice_queries[q]),
             instance=lambda q: self._rows("instance", *cs.instance_queries[q]),
-            challenge=lambda i: [1] * n,  # challenges unsupported in mock runs
-            neg=lambda a: [(-x) % R for x in a],
-            add=lambda a, b: [(x + y) % R for x, y in zip(a, b)],
-            mul=lambda a, b: [x * y % R for x, y in zip(a, b)],
-            scale=lambda a, s: [x * s % R for x in a],
+            challenge=lambda i: const(1),  # challenges unsupported in mock runs
+            neg=lambda a: (-a) % R,
+            add=lambda a, b: (a + b) % R,
+            mul=lambda a, b: a * b % R,
+            scale=lambda a, s: a * s % R,
         )
 
     def verify(self) -> list[Failure]:
         failures: list[Failure] = []
-        # gates over usable rows
+        # gates over the scanned rows
         for name, polys in self.cs.gates:
             for gi, poly in enumerate(polys):
                 rows = self._expr_rows(poly)
-                for r in range(self.usable):
-                    if rows[r] % R != 0:
-                        failures.append(Failure(
-                            "gate", f"gate '{name}'[{gi}] != 0 at row {r}"))
-                        break
+                bad = np.nonzero(rows)[0]
+                if bad.size:
+                    failures.append(Failure(
+                        "gate", f"gate '{name}'[{gi}] != 0 at row {bad[0]}"))
         # copy constraints
+        cell_value = self.assignment.cell_value
         for (ca, ra, cb, rb) in self.assignment.copies:
-            va = self.assignment.cell_value(ca, ra)
-            vb = self.assignment.cell_value(cb, rb)
+            va = cell_value(ca, ra)
+            vb = cell_value(cb, rb)
             if va % R != vb % R:
                 failures.append(Failure(
                     "copy", f"{ca}@{ra} = {va} != {cb}@{rb} = {vb}"))
-        # lookups (multiset inclusion over usable rows)
+        # lookups (multiset inclusion over the scanned rows)
         for lk in self.cs.lookups:
-            inputs = list(zip(*[self._expr_rows(e) for e in lk.input_expressions]))
-            table = set(zip(*[self._expr_rows(e) for e in lk.table_expressions]))
-            for r in range(self.usable):
-                if inputs[r] not in table:
-                    failures.append(Failure(
-                        "lookup", f"lookup '{lk.name}' miss at row {r}: {inputs[r]}"))
-                    break
+            in_cols = [self._expr_rows(e) for e in lk.input_expressions]
+            tab_cols = [self._expr_rows(e) for e in lk.table_expressions]
+            if len(in_cols) == 1:
+                table = set(tab_cols[0].tolist())
+                miss = [i for i, v in enumerate(in_cols[0].tolist())
+                        if v not in table]
+            else:
+                table = set(zip(*[c.tolist() for c in tab_cols]))
+                miss = [i for i, v in enumerate(zip(*[c.tolist() for c in in_cols]))
+                        if v not in table]
+            if miss:
+                failures.append(Failure(
+                    "lookup", f"lookup '{lk.name}' miss at row {miss[0]}"))
         return failures
 
     def assert_satisfied(self):

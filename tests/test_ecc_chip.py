@@ -62,7 +62,7 @@ def _mul(p, k):
 
 
 class EccOpsCircuit(Circuit):
-    K = 15
+    K = 17
 
     def configure(self, cs):
         base = BaseGate.configure(cs)
@@ -105,6 +105,26 @@ class EccOpsCircuit(Circuit):
         sk = gate.assign_constant(ctx, k)
         ecc.assert_equal(ctx, ecc.scalar_mul(ctx, sk, pg),
                          ecc.assign_constant_point(ctx, _mul(g, k)))
+
+        # shamir simultaneous MSM (ecc_chip.rs:139-244): k1*G + k2*H
+        k1, k2 = 29, 53
+        s1 = gate.assign_constant(ctx, k1)
+        s2 = gate.assign_constant(ctx, k2)
+        msm = ecc.shamir(ctx, [pg, ph], [s1, s2])
+        expect = _add(_mul(g, k1), _mul(h, k2))
+        ecc.assert_equal(ctx, msm, ecc.assign_constant_point(ctx, expect))
+
+        # zero scalar inside an MSM exercises the identity candidate
+        s0 = gate.assign_constant(ctx, 0)
+        msm0 = ecc.shamir(ctx, [pg, ph], [s0, s2])
+        ecc.assert_equal(ctx, msm0,
+                         ecc.assign_constant_point(ctx, _mul(h, k2)))
+
+        # constant_mul (ecc_chip.rs:245-279): windowed over constant tables
+        kc = 38
+        skc = gate.assign_constant(ctx, kc)
+        ecc.assert_equal(ctx, ecc.constant_mul(ctx, skc, g),
+                         ecc.assign_constant_point(ctx, _mul(g, kc)))
 
 
 def test_ecc_chip_ops():
