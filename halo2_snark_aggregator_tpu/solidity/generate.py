@@ -60,9 +60,11 @@ def generate(vk, params, proof: bytes, instances: list[list[int]],
         ctx, nchip, schip, pchip, [commitments], vk, params, transcript, "",
     )
     wx, wg, ok = pv.evaluate_multiopen_proof(ctx, schip, pchip, proof_ast, params)
+    from .aggregate import optimize as group_optimize
     from .optimize import combine_mul_add
 
-    combine_mul_add(cg)  # peephole (reference D4)
+    combine_mul_add(cg)   # peephole (reference D4)
+    group_optimize(cg)    # packed loops (reference D5)
     return GeneratedVerifier(
         cg=cg,
         wx=wx,

@@ -73,6 +73,40 @@ class Interpreter:
                 self._set_point(st, ff.g1_mul(
                     self._point(st.args[0], st.args[1]), self._val(st.args[2])
                 ))
+            elif op == "fr_sqr_chain":
+                acc = self._val(st.args[0])
+                for _ in range(st.args[1].value):
+                    acc = acc * acc % R
+                self.env[st.dest[0]] = acc
+            elif op == "fr_horner_pm":
+                acc = self._val(st.args[0])
+                v = self._val(st.args[1])
+                packed, count = st.args[2].value, st.args[3].value
+                for i in range(count):
+                    t = self.transcript[(packed >> (16 * i)) & 0xFFFF]
+                    acc = (acc * v + t) % R
+                self.env[st.dest[0]] = acc
+            elif op == "fr_dot_mt":
+                acc = self._val(st.args[0])
+                packed, count = st.args[1].value, st.args[2].value
+                for i in range(count):
+                    t = self.transcript[(packed >> (16 * i)) & 0xFFFF]
+                    acc = (acc + self._val(st.args[3 + i]) * t) % R
+                self.env[st.dest[0]] = acc
+            elif op == "hash_points_run":
+                start, count = st.args[0].value, st.args[1].value
+                for i in range(count):
+                    self.hash_state.update(b"\x00" * 31 + b"\x01")
+                    self.hash_state.update(
+                        ff.fe_to_bytes(self.transcript[start + 2 * i])[::-1])
+                    self.hash_state.update(
+                        ff.fe_to_bytes(self.transcript[start + 2 * i + 1])[::-1])
+            elif op == "hash_scalars_run":
+                start, count = st.args[0].value, st.args[1].value
+                for i in range(count):
+                    self.hash_state.update(b"\x00" * 31 + b"\x02")
+                    self.hash_state.update(
+                        ff.fe_to_bytes(self.transcript[start + i])[::-1])
             elif op == "hash_scalar":
                 self.hash_state.update(b"\x00" * 31 + b"\x02")
                 self.hash_state.update(ff.fe_to_bytes(self._val(st.args[0]))[::-1])

@@ -7,10 +7,11 @@ precompile exactly in the ShaRead byte protocol (31 zero bytes + domain
 prefix + big-endian words; squeeze reseeds the state with the digest), and
 the final check via ecPairing (0x08) against [s]G2 and -G2 baked from params.
 
-Divergence from the reference noted for reviewers: the reference compresses
-statements into a packed-opcode interpreter (`update()` + group optimizers,
-D5); we emit direct statements after linear-scan slot allocation — simpler
-codegen, larger bytecode. The packed encoding is a later optimization.
+Statement compression: the group optimizers (solidity/aggregate.py, reference
+D5) collapse absorb runs, Horner folds, dot products and squaring chains into
+packed loop statements (16-bit offsets packed into constant words, mirroring
+the reference's fr_mul_add_pm/mt opcodes); everything else is emitted as
+direct statements after linear-scan slot allocation.
 """
 
 from __future__ import annotations
@@ -66,6 +67,51 @@ def render(gen: GeneratedVerifier, params) -> str:
                 f"(m[{slot_of[st.dest[0]]}], m[{slot_of[st.dest[1]]}]) = "
                 f"ecc_mul({a[0]}, {a[1]}, {a[2]});"
             )
+        elif st.op == "fr_sqr_chain":
+            emit("{")
+            emit(f"    uint256 acc = {a[0]};")
+            emit(f"    for (uint256 i = 0; i < {st.args[1].value}; i++) "
+                 "{ acc = mulmod(acc, acc, R_MOD); }")
+            emit(f"    m[{slot_of[st.dest[0]]}] = acc;")
+            emit("}")
+        elif st.op == "fr_horner_pm":
+            packed, count = st.args[2].value, st.args[3].value
+            emit("{")
+            emit(f"    uint256 acc = {a[0]};")
+            emit(f"    uint256 offs = {hex(packed)};")
+            emit(f"    for (uint256 i = 0; i < {count}; i++) {{")
+            emit(f"        acc = addmod(mulmod(acc, {a[1]}, R_MOD), "
+                 "proof[(offs >> (16 * i)) & 0xffff], R_MOD);")
+            emit("    }")
+            emit(f"    m[{slot_of[st.dest[0]]}] = acc;")
+            emit("}")
+        elif st.op == "fr_dot_mt":
+            packed_t, count = st.args[1].value, st.args[2].value
+            m_slots = [slot_of[e.value] for e in st.args[3:]]
+            packed_m = 0
+            for i, s in enumerate(m_slots):
+                assert s < (1 << 16)
+                packed_m |= s << (16 * i)
+            emit("{")
+            emit(f"    uint256 acc = {a[0]};")
+            emit(f"    uint256 toffs = {hex(packed_t)};")
+            emit(f"    uint256 moffs = {hex(packed_m)};")
+            emit(f"    for (uint256 i = 0; i < {count}; i++) {{")
+            emit("        acc = addmod(acc, mulmod(m[(moffs >> (16 * i)) & 0xffff], "
+                 "proof[(toffs >> (16 * i)) & 0xffff], R_MOD), R_MOD);")
+            emit("    }")
+            emit(f"    m[{slot_of[st.dest[0]]}] = acc;")
+            emit("}")
+        elif st.op == "hash_points_run":
+            start, count = st.args[0].value, st.args[1].value
+            emit(f"for (uint256 i = 0; i < {count}; i++) {{ "
+                 f"buf = abi.encodePacked(buf, bytes31(0), uint8(1), "
+                 f"proof[{start} + 2 * i], proof[{start} + 2 * i + 1]); }}")
+        elif st.op == "hash_scalars_run":
+            start, count = st.args[0].value, st.args[1].value
+            emit(f"for (uint256 i = 0; i < {count}; i++) {{ "
+                 f"buf = abi.encodePacked(buf, bytes31(0), uint8(2), "
+                 f"proof[{start} + i]); }}")
         elif st.op == "hash_scalar":
             emit(f"buf = abi.encodePacked(buf, bytes31(0), uint8(2), {a[0]});")
         elif st.op == "hash_point":

@@ -76,6 +76,38 @@ def test_render_and_memory_allocation(setup):
     assert f"proof.length == {gen.transcript_words}" in src
 
 
+def test_group_optimizers_fire_and_preserve_semantics(setup):
+    """D5 passes (solidity/aggregate.py) must compress the statement list and
+    leave the interpreted (w_x, w_g) unchanged, with loops in the source."""
+    from halo2_snark_aggregator_tpu.solidity import aggregate
+    from halo2_snark_aggregator_tpu.solidity.chips import (SolidityEccChip)
+    from halo2_snark_aggregator_tpu.solidity.render import render
+
+    params, vk, circuit, proof = setup
+    gen = generate(vk, params, proof, circuit.instances())
+    ops = [st.op for st in gen.cg.statements]
+    assert "hash_points_run" in ops, "UpdateHashMerger analog found no runs"
+    assert ("fr_horner_pm" in ops or "fr_dot_mt" in ops), \
+        "no packed mul-add chains found"
+
+    interp = Interpreter(gen.cg, proof_to_words(proof),
+                         [v % ff.R for col in circuit.instances() for v in col])
+    interp.run()
+    assert interp.point_of(gen.wx) == gen.wx.v
+    assert interp.point_of(gen.wg) == gen.wg.v
+
+    src = render(gen, params)
+    assert "for (uint256 i = 0;" in src
+
+
+def test_pack16_unit():
+    from halo2_snark_aggregator_tpu.solidity.aggregate import _pack16
+    w = _pack16([1, 0xFFFF, 7])
+    assert (w & 0xFFFF) == 1
+    assert ((w >> 16) & 0xFFFF) == 0xFFFF
+    assert ((w >> 32) & 0xFFFF) == 7
+
+
 def test_peephole_fused_and_still_correct(setup):
     params, vk, circuit, proof = setup
     gen = generate(vk, params, proof, circuit.instances())
