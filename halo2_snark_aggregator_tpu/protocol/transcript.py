@@ -61,3 +61,42 @@ class PoseidonTranscriptRead:
 
     def common_scalar(self, ctx, nchip, schip, s):
         self.hash.update([s])
+
+
+class ShaTranscriptRead:
+    """Context-generic SHA-2 transcript reader for the OUTER proof (reference
+    ShaRead, transcript/sha.rs:15-97 — uncompressed x||y point absorption with
+    0x00/0x01/0x02 domain prefixes, BE reversal, squeeze = digest + reseed).
+
+    The reference only ever reads SHA transcripts with value semantics (the
+    native VerifyCheck, verify_circuit.rs:1032-1055, and the EVM codegen which
+    has its own reader); likewise this reader hashes the concrete values
+    (`to_value`) host-side, so it is intended for the value/TPU contexts."""
+
+    def __init__(self, proof: bytes, ctx, nchip, algo: str = "sha256"):
+        from ..transcript.host import ShaRead
+        self.inner = ShaRead(proof, algo)
+
+    def at_end(self) -> bool:
+        return self.inner.at_end()
+
+    def read_point(self, ctx, nchip, schip, pchip):
+        pt = self.inner.read_point()
+        return pchip.assign_var(ctx, pt)
+
+    def read_constant_point(self, ctx, nchip, schip, pchip):
+        pt = self.inner.read_point()
+        return pchip.assign_const(ctx, pt)
+
+    def read_scalar(self, ctx, nchip, schip):
+        v = self.inner.read_scalar()
+        return schip.assign_var(ctx, v)
+
+    def squeeze_challenge_scalar(self, ctx, nchip, schip):
+        return schip.assign_var(ctx, self.inner.squeeze_challenge())
+
+    def common_point(self, ctx, nchip, schip, pchip, p):
+        self.inner.common_point(pchip.to_value(p))
+
+    def common_scalar(self, ctx, nchip, schip, s):
+        self.inner.common_scalar(nchip.to_value(s))

@@ -5,10 +5,11 @@ Usage:  python -m halo2_snark_aggregator_tpu.sdk.cli -c <command> -f <folder>
 Commands (sdk/src/lib.rs:30-41, 83-177):
   sample_setup     target-circuit params + keys
   sample_run       create + self-verify N_PROOFS target proofs
-  verify_setup     aggregation-circuit setup          [roadmap: circuit ctx]
-  verify_run       outer aggregation proof            [roadmap: circuit ctx]
-  verify_check     TPU aggregation verify of all stored proofs -> final pair
-  verify_solidity  EVM verifier codegen               [roadmap: codegen ctx]
+  verify_setup     aggregation-circuit keygen (accel SRS + keygen at --agg-k)
+  verify_run       outer aggregation proof (TPU-accelerated prover, SHA256)
+  verify_check     TPU aggregation verify -> final pair; natively verifies the
+                   stored outer proof when present
+  verify_solidity  EVM verifier codegen
 
 The built-in demo target is the SimpleMulCircuit (2 proofs, K=6), the analog
 of sdk/examples/simple-example.rs.
@@ -44,6 +45,9 @@ def main(argv=None):
     parser.add_argument("-f", "--folder", required=True)
     parser.add_argument("--cpu", action="store_true",
                         help="run verify_check on the exact host path")
+    parser.add_argument("--agg-k", type=int, default=22,
+                        help="aggregation-circuit size (reference k=22, "
+                             "simple-example.rs:361-363)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
@@ -54,9 +58,19 @@ def main(argv=None):
         harness.sample_setup(spec, store)
     elif args.command == "sample_run":
         harness.sample_run(spec, store)
+    elif args.command == "verify_setup":
+        harness.verify_setup([spec], store, agg_k=args.agg_k)
+        print(f"aggregator vkey at k={args.agg_k} stored")
+    elif args.command == "verify_run":
+        proof, instances = harness.verify_run([spec], store, agg_k=args.agg_k)
+        print(f"outer proof written ({len(proof)} bytes, "
+              f"{len(instances[0])} public inputs)")
     elif args.command == "verify_check":
         w_x, w_g, _ = harness.verify_check([spec], store, use_tpu=not args.cpu)
         print(f"final pair:\n  w_x = {w_x}\n  w_g = {w_g}")
+        if store.exists("verify_circuit_proof.data"):
+            harness.verify_check_outer(store, agg_k=args.agg_k)
+            print("outer proof natively verified (SHA256 transcript)")
     elif args.command == "verify_solidity":
         # generate an EVM verifier for a stored SHA-transcript proof; the demo
         # re-proves proof 0 with the SHA flavor (the outer aggregation proof
@@ -77,13 +91,6 @@ def main(argv=None):
         store.write_solidity(render(gen, params))
         print(f"verifier.sol written ({gen.transcript_words} proof words, "
               f"{len(gen.cg.statements)} statements)")
-    else:
-        print(
-            f"{args.command}: requires the circuit/codegen contexts "
-            "(in progress — see ROADMAP in README.md)",
-            file=sys.stderr,
-        )
-        return 2
     return 0
 
 

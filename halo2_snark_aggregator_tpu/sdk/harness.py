@@ -106,3 +106,98 @@ def verify_check(specs: list[TargetCircuitSpec], store: FolderStore,
     log.info("verify_check: %d circuits aggregated, final pair stored; ctx=%s",
              len(circuits), ctx)
     return w_x, w_g, plain_instances
+
+
+# ---------------------------------------------------------------------------
+# Outer-proof stages (reference C5: MultiCircuitsSetup / MultiCircuitsCreate-
+# Proof / VerifyCheck, verify_circuit.rs:644-765, 898-1010, 1012-1055)
+# ---------------------------------------------------------------------------
+
+def _load_targets(specs: list[TargetCircuitSpec], store: FolderStore):
+    from ..circuits.aggregator import SingleProofWitness, VerifierCircuitTarget
+
+    targets = []
+    for spec in specs:
+        params = store.read_target_params(spec.name)
+        vk, _pk = store.read_target_vkey(spec.name)
+        proofs = []
+        for i in range(spec.n_proofs):
+            proofs.append(SingleProofWitness(
+                instances=store.read_target_instance(spec.name, i),
+                transcript=store.read_target_proof(spec.name, i)))
+        targets.append(VerifierCircuitTarget(
+            name=spec.name, vk=vk, params=params, proofs=proofs))
+    return targets
+
+
+def verify_setup(specs: list[TargetCircuitSpec], store: FolderStore,
+                 agg_k: int = 22):
+    """Aggregation-circuit keygen (MultiCircuitsSetup::call). Stores the
+    aggregator vkey; like the reference, the proving key is regenerated
+    during verify_run (verify_circuit.rs:974-979) rather than persisted."""
+    from ..circuits.aggregator import AggregatorCircuit
+    from ..prover.accel import keygen_accel
+    from ..prover.srs import setup_cached_accel
+
+    aparams = setup_cached_accel(agg_k)
+    agg = AggregatorCircuit(_load_targets(specs, store))
+    vk, _apk = keygen_accel(agg, agg_k, aparams)
+    store.write_verify_vkey(vk)
+    log.info("verify_setup: aggregator vkey at k=%d stored", agg_k)
+    return vk
+
+
+def verify_run(specs: list[TargetCircuitSpec], store: FolderStore,
+               agg_k: int = 22, seed: int = 0):
+    """Create the outer aggregation proof (MultiCircuitsCreateProof::call):
+    mock-run final pair -> 136-bit instance packing -> aggregator keygen ->
+    TPU-accelerated proof with the SHA256 transcript (so an EVM verifier can
+    recompute the challenges — verify_circuit.rs:984-995)."""
+    from ..circuits.aggregator import AggregatorCircuit
+    from ..prover.accel import create_proof_accel, keygen_accel
+    from ..prover.srs import setup_cached_accel
+    from ..transcript.host import ShaWrite
+
+    aparams = setup_cached_accel(agg_k)
+    agg = AggregatorCircuit(_load_targets(specs, store))
+
+    w_x, w_g, plain = agg.calc_final_pair()
+    from ..protocol.instances import final_pair_to_instances
+    instances = [final_pair_to_instances(w_x, w_g, plain)]
+    store.write_final_pair(w_x, w_g)
+    store.write_verify_instance(instances)
+
+    vk, apk = keygen_accel(agg, agg_k, aparams)
+    store.write_verify_vkey(vk)
+    proof = create_proof_accel(apk, aparams, [agg], [instances], ShaWrite(),
+                               seed=seed)
+    store.write_verify_proof(proof)
+    log.info("verify_run: outer proof %d bytes at k=%d", len(proof), agg_k)
+    return proof, instances
+
+
+def verify_check_outer(store: FolderStore, agg_k: int = 22):
+    """Natively verify the stored outer proof (VerifyCheck::call,
+    verify_circuit.rs:1032-1055): the protocol engine on the value context
+    with the SHA256 transcript reader."""
+    from ..protocol.transcript import ShaTranscriptRead
+    from ..prover.srs import setup_cached_accel
+
+    vk = store.read_verify_vkey()
+    proof = store.read_verify_proof()
+    instances = store.read_verify_instance()
+    aparams = setup_cached_accel(agg_k)
+
+    ctx = ValueContext()
+    pchip = ValueEccChip()
+    nchip = schip = pchip.scalar_chip
+    t = ShaTranscriptRead(proof, ctx, nchip)
+    cp = pv.CircuitProof(
+        name="verify_circuit", vk=vk, params=aparams,
+        proofs=[pv.ProofData(instances=[instances], transcript=t,
+                             key="verify_circuit_0")])
+    *_, ok = pv.verify_single_proof_in_chip(ctx, nchip, schip, pchip, cp)
+    if not ok:
+        raise RuntimeError("outer proof failed native verification")
+    log.info("verify_check_outer: outer proof verified")
+    return True
