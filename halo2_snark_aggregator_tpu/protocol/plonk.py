@@ -224,9 +224,12 @@ class ConstraintSystem:
         return c
 
     def challenge_usable_after(self, phase: int) -> int:
+        """halo2 semantics: the challenge is squeezed at the END of `phase`
+        (right after that phase's advice commitments), so it is usable by
+        advice columns of phase+1 during witness synthesis."""
         idx = self.num_challenges
         self.num_challenges += 1
-        self.challenge_phase.append(phase + 1)
+        self.challenge_phase.append(phase)
         return idx
 
     def phases(self) -> list[int]:

@@ -21,7 +21,8 @@ class Assignment:
     """Direct row-addressed witness/fixed assignment + copy constraints."""
 
     def __init__(self, cs: ConstraintSystem, n: int, usable_rows: int,
-                 instances: list[list[int]] | None = None):
+                 instances: list[list[int]] | None = None,
+                 challenges: dict[int, int] | None = None):
         self.cs = cs
         self.n = n
         self.usable_rows = usable_rows
@@ -29,6 +30,12 @@ class Assignment:
         self.advice = [[0] * n for _ in range(cs.num_advice_columns)]
         self.instances = instances or [[] for _ in range(cs.num_instance_columns)]
         self.copies: list[tuple[Column, int, Column, int]] = []
+        # multi-phase proving: challenges squeezed in earlier phases (halo2's
+        # Value::unknown semantics — None until the phase that reveals it)
+        self.challenges = challenges if challenges is not None else {}
+
+    def get_challenge(self, index: int) -> int | None:
+        return self.challenges.get(index)
 
     def assign_fixed(self, col: Column, row: int, value: int):
         assert col.kind == FIXED and row < self.usable_rows

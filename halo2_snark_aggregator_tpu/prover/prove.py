@@ -89,31 +89,28 @@ def create_proof(
         instance_lagrange.append(cols_l)
         instance_coeff.append(cols_c)
 
-    # -- 2. advice (with phase-ordered commitments and challenges) ---------
-    advice_lagrange = []  # [proof][col][n]
+    # -- 2. advice: per-phase synthesis -> blind -> commit -> challenges ---
+    # (halo2 re-synthesizes each phase so phase>0 witnesses can consume the
+    # challenges squeezed so far; single-phase circuits synthesize once and
+    # keep the historical RNG call order byte-for-byte)
+    advice_lagrange = [[None] * cs.num_advice_columns for _ in range(num_proofs)]
     assert len(circuits) == num_proofs
-    for p in range(num_proofs):
-        # configure() is deterministic; a throwaway CS yields identical column
-        # handles to the keygen-time configuration.
-        config = circuits[p].configure(_CS())
-        assignment = Assignment(cs, n, usable, instances_per_proof[p])
-        circuits[p].synthesize(config, assignment)
-        cols = []
-        for col in assignment.advice:
-            col = list(col)
-            for r in range(usable, n):
-                col[r] = rand_fr()
-            cols.append(col)
-        advice_lagrange.append(cols)
-
     challenges: dict[int, int] = {}
     for phase in cs.phases():
         for p in range(num_proofs):
+            # configure() is deterministic; a throwaway CS yields identical
+            # column handles to the keygen-time configuration.
+            config = circuits[p].configure(_CS())
+            assignment = Assignment(cs, n, usable, instances_per_proof[p],
+                                    challenges=challenges)
+            circuits[p].synthesize(config, assignment)
             for col_idx, col_phase in enumerate(cs.advice_column_phase):
                 if col_phase == phase:
-                    transcript.write_point(
-                        params.commit_lagrange(advice_lagrange[p][col_idx])
-                    )
+                    col = list(assignment.advice[col_idx])
+                    for r in range(usable, n):
+                        col[r] = rand_fr()
+                    advice_lagrange[p][col_idx] = col
+                    transcript.write_point(params.commit_lagrange(col))
         for ch_idx, ch_phase in enumerate(cs.challenge_phase):
             if ch_phase == phase:
                 challenges[ch_idx] = transcript.squeeze_challenge()

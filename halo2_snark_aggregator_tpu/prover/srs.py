@@ -1,0 +1,188 @@
+"""Accelerated SRS generation: device fixed-base batch scalar-mul.
+
+`ParamsKZG.unsafe_setup` (the HALO2_PARAMS_{k} analog, verify_circuit.rs:
+701-731) computes [tau^i]G1 with one host scalar-mul per element — infeasible
+at the aggregator's k=22 (4M points). Here the whole basis is produced by a
+fixed-base windowed multi-scalar kernel shaped for the MXU:
+
+  * 8-bit windows over 256-bit scalars -> 32 digit positions;
+  * a tiny host-precomputed table T[j][d] = d * 2^(8j) * G (32 x 256 points,
+    ~8k host group ops);
+  * per position, the table row is SELECTED by a one-hot matmul
+    (digits -> one-hot(256) @ table-limbs) — redundant-representation
+    Montgomery limbs are < 2^8, so f32 accumulation is exact and the
+    selection rides the MXU instead of lowering to per-element gathers
+    (TPU gathers are scalar loads — see ops/msm.host_bucket_plan);
+  * the 32 selected points per element are summed with a log-depth tree of
+    complete RCB adds (ops/curve_rr).
+
+Bit-exact contract: same tau derivation as ParamsKZG.unsafe_setup, identical
+points — differentially tested at small k.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ff import bn254 as ff
+from ..ops import curve_rr as cv
+from ..ops import field_rr as frr
+from ..ops import msm as msm_ops
+from .accel import AccelParams, ints_to_std
+from .domain import Domain
+from .kzg import ParamsKZG
+
+WINDOW = 8
+POSITIONS = 256 // WINDOW  # 32
+
+
+def _host_tables(base=ff.G1_GEN):
+    """T[j][d] = d * 2^(8j) * base as affine int points (None = identity)."""
+    tables = []
+    b = base
+    for _ in range(POSITIONS):
+        row = [None, b]
+        acc = b
+        for _ in range(2, 1 << WINDOW):
+            acc = ff.g1_add(acc, b)
+            row.append(acc)
+        tables.append(row)
+        for _ in range(WINDOW):
+            b = ff.g1_double(b)
+    return tables
+
+
+def _tables_mont_limbs(tables) -> np.ndarray:
+    """(POSITIONS, 256, 96) f32 of redundant Montgomery limbs (x|y|z)."""
+    out = np.zeros((POSITIONS, 1 << WINDOW, 3 * frr.NLIMBS), dtype=np.float32)
+    for j, row in enumerate(tables):
+        for d, pt in enumerate(row):
+            if pt is None:
+                x, y, z = 0, 1, 0
+            else:
+                x, y, z = pt[0], pt[1], 1
+            out[j, d, : frr.NLIMBS] = frr.FQ.to_mont_int(x)
+            out[j, d, frr.NLIMBS : 2 * frr.NLIMBS] = frr.FQ.to_mont_int(y)
+            out[j, d, 2 * frr.NLIMBS :] = frr.FQ.to_mont_int(z)
+    return out
+
+
+def _digits_u8(scalars_std: np.ndarray) -> np.ndarray:
+    """uint32[n,16] 16-bit limbs -> uint8[n, 32] base-256 digits."""
+    lo = (scalars_std & 0xFF).astype(np.uint8)
+    hi = (scalars_std >> 8).astype(np.uint8)
+    return np.stack([lo, hi], axis=-1).reshape(scalars_std.shape[0], 32)
+
+
+def fixed_base_msm(scalars_std: np.ndarray, tables_f32: np.ndarray,
+                   chunk: int = 1 << 18) -> tuple:
+    """[s_i * G for each scalar] as a projective RR triple on device."""
+    import jax
+
+    n = scalars_std.shape[0]
+    digits = _digits_u8(scalars_std)
+
+    @jax.jit
+    def one_chunk(dig_chunk, tables):
+        # (m, 32) digits -> one-hot -> select -> tree-add over positions
+        onehot = jax.nn.one_hot(dig_chunk, 1 << WINDOW, dtype=jnp.float32)
+        sel = jnp.einsum("mjd,jdl->mjl", onehot, tables)  # (m, 32, 96)
+        sel = sel.astype(jnp.int32)
+        px = frr.RR(sel[..., : frr.NLIMBS], 8)
+        py = frr.RR(sel[..., frr.NLIMBS : 2 * frr.NLIMBS], 8)
+        pz = frr.RR(sel[..., 2 * frr.NLIMBS :], 8)
+        pts = (px, py, pz)
+        m = POSITIONS
+        while m > 1:
+            half = m // 2
+            a = tuple(frr.RR(c.limbs[:, :half], c.bound) for c in pts)
+            b = tuple(frr.RR(c.limbs[:, half:m], c.bound) for c in pts)
+            pts = tuple(frr.with_bound(c, msm_ops.CARRY_BOUND)
+                        for c in cv.add(a, b))
+            m = half
+        return tuple(frr.RR(c.limbs[:, 0], c.bound) for c in pts)
+
+    tb = jnp.asarray(tables_f32)
+    outs = []
+    for lo in range(0, n, chunk):
+        outs.append(one_chunk(jnp.asarray(digits[lo : lo + chunk]), tb))
+    if len(outs) == 1:
+        return outs[0]
+    return tuple(
+        frr.RR(jnp.concatenate([o[i].limbs for o in outs], axis=0), outs[0][i].bound)
+        for i in range(3)
+    )
+
+
+def _tau_for(k: int, seed: bytes) -> int:
+    return int.from_bytes(
+        hashlib.sha256(seed + k.to_bytes(4, "little")).digest(), "little") % ff.R
+
+
+def unsafe_setup_accel(k: int, seed: bytes = b"halo2-snark-aggregator-tpu",
+                       lagrange_prefix: int = 4096) -> AccelParams:
+    """Device-generated unsafe SRS; same tau/points as ParamsKZG.unsafe_setup."""
+    tau = _tau_for(k, seed)
+    n = 1 << k
+    taus = [1] * n
+    for i in range(1, n):
+        taus[i] = taus[i - 1] * tau % ff.R
+    tables = _host_tables()
+    g_dev = fixed_base_msm(ints_to_std(taus), _tables_mont_limbs(tables))
+
+    # Lagrange-basis prefix for (small) instance-column commitments:
+    # L_i(tau) = (omega^i / n) (tau^n - 1) / (tau - omega^i)
+    dom = Domain(k)
+    m = min(n, lagrange_prefix)
+    tau_n = pow(tau, n, ff.R)
+    n_inv = pow(n, -1, ff.R)
+    g_lagrange = []
+    w = 1
+    for _ in range(m):
+        li = w * n_inv % ff.R * (tau_n - 1) % ff.R * pow(tau - w, -1, ff.R) % ff.R
+        g_lagrange.append(ff.g1_mul(ff.G1_GEN, li))
+        w = w * dom.omega % ff.R
+    return AccelParams(k, g_dev, ff.G2_GEN, ff.g2_mul(ff.G2_GEN, tau), g_lagrange)
+
+
+def _srs_cache_path(k: int, cache_dir) -> Path:
+    if cache_dir is None:
+        cache_dir = Path.home() / ".cache" / "halo2_snark_aggregator_tpu"
+    cache_dir = Path(cache_dir)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    return cache_dir / f"accel_params_k{k}.npz"
+
+
+def setup_cached_accel(k: int, cache_dir=None) -> AccelParams:
+    """Disk-cached accelerated SRS (HALO2_PARAMS_{k} analog). The cache holds
+    canonical-form limb arrays; Montgomery conversion happens on load."""
+    path = _srs_cache_path(k, cache_dir)
+    if path.exists():
+        data = np.load(path, allow_pickle=True)
+        limbs = data["g_rr"]  # int32 (3, n, NLIMBS) Montgomery RR limbs
+        g_dev = tuple(frr.RR(jnp.asarray(limbs[i]), 8) for i in range(3))
+        g_lagrange = [None if r[2] == 0 else (int(r[0]), int(r[1]))
+                      for r in data["g_lagrange"]]
+
+        def g2_point(vals):
+            a = [int(v) for v in vals]
+            return (ff.Fq2(a[0], a[1]), ff.Fq2(a[2], a[3]))
+
+        return AccelParams(k, g_dev, g2_point(data["g2"]),
+                           g2_point(data["s_g2"]), g_lagrange)
+    params = unsafe_setup_accel(k)
+    g_rr = np.stack([np.asarray(c.limbs, dtype=np.int32) for c in params.g_dev])
+    g_lag = np.array(
+        [[pt[0], pt[1], 1] if pt is not None else [0, 0, 0]
+         for pt in params.g_lagrange], dtype=object)
+    def g2_flat(pt):
+        return np.array([pt[0].c0, pt[0].c1, pt[1].c0, pt[1].c1], dtype=object)
+
+    g2 = g2_flat(params.g2)
+    s_g2 = g2_flat(params.s_g2)
+    np.savez(path, g_rr=g_rr, g_lagrange=g_lag, g2=g2, s_g2=s_g2)
+    return params

@@ -37,6 +37,26 @@ def demo_spec() -> harness.TargetCircuitSpec:
     )
 
 
+def demo_specs(demo: str) -> list[harness.TargetCircuitSpec]:
+    """`simple` mirrors simple-example.rs (one circuit family, 2 proofs);
+    `multi` mirrors multi-circuit.rs (two families x 2 proofs, aggregated in
+    one outer statement — sdk/examples/multi-circuit.rs:322-401)."""
+    specs = [demo_spec()]
+    if demo == "multi":
+        from ..circuits.lookup import SimpleLookupCircuit
+
+        specs.append(harness.TargetCircuitSpec(
+            name="lookup",
+            k=SimpleLookupCircuit.K,
+            n_proofs=2,
+            public_input_size=0,
+            circuit_builder=lambda seed: SimpleLookupCircuit(
+                [1, 3, 5, 7, 11, 13, (seed * 2 + 1) % 16]),
+            instance_builder=lambda c: c.instances(),
+        ))
+    return specs
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="halo2-snark-aggregator-tpu")
     parser.add_argument("-c", "--command", required=True,
@@ -48,25 +68,31 @@ def main(argv=None):
     parser.add_argument("--agg-k", type=int, default=22,
                         help="aggregation-circuit size (reference k=22, "
                              "simple-example.rs:361-363)")
+    parser.add_argument("--demo", choices=["simple", "multi"], default="simple",
+                        help="target-circuit set: simple-example.rs or "
+                             "multi-circuit.rs analog")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
     store = FolderStore(args.folder)
-    spec = demo_spec()
+    specs = demo_specs(args.demo)
+    spec = specs[0]
 
     if args.command == "sample_setup":
-        harness.sample_setup(spec, store)
+        for s in specs:
+            harness.sample_setup(s, store)
     elif args.command == "sample_run":
-        harness.sample_run(spec, store)
+        for s in specs:
+            harness.sample_run(s, store)
     elif args.command == "verify_setup":
-        harness.verify_setup([spec], store, agg_k=args.agg_k)
+        harness.verify_setup(specs, store, agg_k=args.agg_k)
         print(f"aggregator vkey at k={args.agg_k} stored")
     elif args.command == "verify_run":
-        proof, instances = harness.verify_run([spec], store, agg_k=args.agg_k)
+        proof, instances = harness.verify_run(specs, store, agg_k=args.agg_k)
         print(f"outer proof written ({len(proof)} bytes, "
               f"{len(instances[0])} public inputs)")
     elif args.command == "verify_check":
-        w_x, w_g, _ = harness.verify_check([spec], store, use_tpu=not args.cpu)
+        w_x, w_g, _ = harness.verify_check(specs, store, use_tpu=not args.cpu)
         print(f"final pair:\n  w_x = {w_x}\n  w_g = {w_g}")
         if store.exists("verify_circuit_proof.data"):
             harness.verify_check_outer(store, agg_k=args.agg_k)

@@ -25,4 +25,7 @@ jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: the limb-arithmetic kernels produce large
 # XLA graphs; caching makes repeated test runs fast
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+# persist every compile: the accel-prover pipeline dispatches many small
+# limb-kernel shapes; on a few-core box each 0.5-2s compile adds up across
+# sessions while staying under the old 2s persistence threshold
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
