@@ -164,7 +164,13 @@ class AccelParams:
     the same group element. Only a small g_lagrange prefix is kept host-side
     for the verifier's instance commitments."""
 
-    def __init__(self, k: int, g_dev, g2, s_g2, g_lagrange, host: ParamsKZG | None = None):
+    # below this size the host MSM beats kernel dispatch (and spares the
+    # Pippenger compile in small-k tests; the kernel itself is differentially
+    # tested in tests/test_curve_msm.py)
+    HOST_MSM_MAX_K = 10
+
+    def __init__(self, k: int, g_dev, g2, s_g2, g_lagrange,
+                 host: ParamsKZG | None = None, commit_mode: str = "auto"):
         self.k = k
         self.n = 1 << k
         self.g_dev = g_dev
@@ -172,15 +178,30 @@ class AccelParams:
         self.s_g2 = s_g2
         self.g_lagrange = g_lagrange
         self.host = host
+        assert commit_mode in ("auto", "device", "host")
+        self.commit_mode = commit_mode
 
     @staticmethod
-    def from_params(params: ParamsKZG) -> "AccelParams":
-        return AccelParams(params.k, points_to_device(params.g), params.g2,
-                           params.s_g2, params.g_lagrange, host=params)
+    def from_params(params: ParamsKZG, commit_mode: str = "auto") -> "AccelParams":
+        need_dev = commit_mode == "device" or (
+            commit_mode == "auto" and params.k > AccelParams.HOST_MSM_MAX_K)
+        g_dev = points_to_device(params.g) if need_dev else None
+        return AccelParams(params.k, g_dev, params.g2,
+                           params.s_g2, params.g_lagrange, host=params,
+                           commit_mode=commit_mode)
+
+    def _use_host_msm(self) -> bool:
+        if self.commit_mode == "host":
+            return True
+        return (self.commit_mode == "auto" and self.host is not None
+                and self.k <= self.HOST_MSM_MAX_K)
 
     def commit_coeff_mont(self, coeffs_mont, pad_to: int | None = None):
         """Commit a device Montgomery coefficient vector; returns affine int
         point or None (identity)."""
+        if self._use_host_msm():
+            scalars = mont_to_ints(coeffs_mont)
+            return ff.g1_msm(self.host.g[: len(scalars)], scalars)
         m = coeffs_mont.shape[0]
         scalars = np.zeros((self.n, 16), dtype=np.uint32)
         scalars[:m] = np.asarray(fo.from_mont(FR16, coeffs_mont))
