@@ -162,12 +162,46 @@ def bench_batched():
     }
 
 
+def bench_outer():
+    """Outer aggregation proof wall-clock (the reference's zkevm-bench
+    analog: MultiCircuitsCreateProof at aggregator k — TPU-accelerated
+    prover, SHA256 transcript, followed by a native verify). Opt-in via
+    BENCH_OUTER=1; OUTER_K selects the aggregator size (default 22).
+
+    vs_baseline is against a 600s working target for a k=22 halo2 outer
+    proof on the reference's 24-thread CPU setup (no published numbers —
+    BASELINE.md)."""
+    _configure_jax()
+    from halo2_snark_aggregator_tpu.sdk import harness
+    from halo2_snark_aggregator_tpu.sdk.cli import demo_spec
+    from halo2_snark_aggregator_tpu.utils.store import FolderStore
+
+    agg_k = int(os.environ.get("OUTER_K", "22"))
+    store = FolderStore(os.environ.get("OUTER_FOLDER", "/tmp/bench_outer"))
+    spec = demo_spec()
+    if not store.exists(f"sample_circuit_{spec.name}.params"):
+        harness.sample_setup(spec, store)
+        harness.sample_run(spec, store)
+    t0 = time.time()
+    proof, _instances = harness.verify_run([spec], store, agg_k=agg_k)
+    dt = time.time() - t0
+    harness.verify_check_outer(store, agg_k=agg_k)
+    return {
+        "metric": "outer_proof_seconds",
+        "value": round(dt, 1),
+        "unit": f"s (aggregator k={agg_k}, {len(proof)}B proof, 1 chip)",
+        "vs_baseline": round(600.0 / dt, 3),
+    }
+
+
 if __name__ == "__main__":
     try:
         if os.environ.get("BENCH_MSM"):
             result = bench_msm()
         elif os.environ.get("BENCH_BATCHED"):
             result = bench_batched()
+        elif os.environ.get("BENCH_OUTER"):
+            result = bench_outer()
         else:
             result = bench_aggregation()
     except Exception as exc:  # TPU worker faults must not lose the datapoint
