@@ -246,7 +246,8 @@ class AccelPk:
 
 def keygen_accel(circuit, k: int, params: AccelParams,
                  instances: list[list[int]] | None = None,
-                 assignment: Assignment | None = None):
+                 assignment: Assignment | None = None,
+                 spill: bool = False):
     """Device-accelerated keygen_vk/keygen_pk: identical (vk, sigma polys,
     commitments) to prover.keygen.keygen, with
 
@@ -270,9 +271,10 @@ def keygen_accel(circuit, k: int, params: AccelParams,
         assignment = Assignment(cs, n, usable, instances)
         circuit.synthesize(config, assignment)
 
+    keep = (lambda x: np.asarray(x)) if spill else (lambda x: x)
     domain = Domain(k)
-    fixed_lagrange = [ints_to_mont(col) for col in assignment.fixed]
-    fixed_coeff = [_intt(col, k) for col in fixed_lagrange]
+    fixed_lagrange = [keep(ints_to_mont(col)) for col in assignment.fixed]
+    fixed_coeff = [keep(_intt(jnp.asarray(col), k)) for col in fixed_lagrange]
 
     # permutation mapping: cycle-splice union-find over flat numpy arrays
     cols = cs.permutation_columns
@@ -308,9 +310,9 @@ def keygen_accel(circuit, k: int, params: AccelParams,
     for ci in range(ncols):
         om = jnp.asarray(omega_pows_std[mr[ci]])
         dl = jnp.asarray(delta_std[mc[ci]])
-        sigmas_lagrange.append(
-            fo.mont_mul(FR16, fo.to_mont(FR16, om), fo.to_mont(FR16, dl)))
-    sigmas_coeff = [_intt(s, k) for s in sigmas_lagrange]
+        sigmas_lagrange.append(keep(
+            fo.mont_mul(FR16, fo.to_mont(FR16, om), fo.to_mont(FR16, dl))))
+    sigmas_coeff = [keep(_intt(jnp.asarray(s), k)) for s in sigmas_lagrange]
 
     fixed_commitments = [params.commit_coeff_mont(c) for c in fixed_coeff]
     permutation_commitments = [params.commit_coeff_mont(s) for s in sigmas_coeff]
@@ -348,10 +350,18 @@ def create_proof_accel(
     instances_per_proof: list[list[list[int]]],
     transcript,
     seed: int = 0,
+    spill: bool = False,
 ) -> bytes:
     """Drop-in accelerated replacement for prover.prove.create_proof:
-    identical transcript bytes for identical inputs/seed."""
+    identical transcript bytes for identical inputs/seed.
+
+    spill=True keeps every long-lived polynomial on the host (numpy) and only
+    transients on device — required at the aggregator's k=22, where the full
+    working set (tens of (4M,16) vectors) exceeds one chip's HBM. Device ops
+    accept numpy operands, so the compute path is unchanged."""
     from ..protocol.plonk import ConstraintSystem as _CS
+
+    keep = (lambda x: np.asarray(x)) if spill else (lambda x: x)
 
     vk = apk.vk
     cs = vk.cs
@@ -379,8 +389,8 @@ def create_proof_accel(
         for vals in insts:
             assert len(vals) <= usable
             col = ints_to_mont(list(vals) + [0] * (n - len(vals)))
-            cols_l.append(col)
-            cols_c.append(_intt(col, k))
+            cols_l.append(keep(col))
+            cols_c.append(keep(_intt(col, k)))
             transcript.common_point(params.commit_lagrange_ints(list(vals)))
         instance_lagrange.append(cols_l)
         instance_coeff.append(cols_c)
@@ -403,8 +413,8 @@ def create_proof_accel(
                     for r in range(usable, n):
                         col[r] = rand_fr()
                     lag = ints_to_mont(col)
-                    advice_lagrange[p][col_idx] = lag
-                    advice_coeff[p][col_idx] = _intt(lag, k)
+                    advice_lagrange[p][col_idx] = keep(lag)
+                    advice_coeff[p][col_idx] = keep(_intt(lag, k))
                     transcript.write_point(
                         params.commit_coeff_mont(advice_coeff[p][col_idx]))
         for ch_idx, ch_phase in enumerate(cs.challenge_phase):
@@ -451,14 +461,15 @@ def create_proof_accel(
             a_perm = a_perm + [rand_fr() for _ in range(n - usable)]
             s_perm = s_perm + [rand_fr() for _ in range(n - usable)]
             per_proof.append(dict(
-                a_rows=a_rows, s_rows=s_rows,
-                a_perm=ints_to_mont(a_perm), s_perm=ints_to_mont(s_perm)))
+                a_rows=keep(a_rows), s_rows=keep(s_rows),
+                a_perm=keep(ints_to_mont(a_perm)),
+                s_perm=keep(ints_to_mont(s_perm))))
         lookups_data.append(per_proof)
 
     for p in range(num_proofs):
         for lk in lookups_data[p]:
-            lk["a_coeff"] = _intt(lk["a_perm"], k)
-            lk["s_coeff"] = _intt(lk["s_perm"], k)
+            lk["a_coeff"] = keep(_intt(jnp.asarray(lk["a_perm"]), k))
+            lk["s_coeff"] = keep(_intt(jnp.asarray(lk["s_perm"]), k))
             transcript.write_point(params.commit_coeff_mont(lk["a_coeff"]))
             transcript.write_point(params.commit_coeff_mont(lk["s_coeff"]))
 
@@ -522,10 +533,11 @@ def create_proof_accel(
             den = fo.select((usable_mask_d[:, 0] == 1), den, one_v)
             tail = [rand_fr() for _ in range(n - usable - 1)]
             z, last_z = grand_product(num, den, last_z, tail)
-            sets.append(z)
+            sets.append(keep(z))
         perm_z.append(sets)
 
-    perm_z_coeff = [[_intt(z, k) for z in sets] for sets in perm_z]
+    perm_z_coeff = [[keep(_intt(jnp.asarray(z), k)) for z in sets]
+                    for sets in perm_z]
     for p in range(num_proofs):
         for zc in perm_z_coeff[p]:
             transcript.write_point(params.commit_coeff_mont(zc))
@@ -540,15 +552,16 @@ def create_proof_accel(
             num = fo.select((usable_mask_d[:, 0] == 1), num, one_v)
             den = fo.select((usable_mask_d[:, 0] == 1), den, one_v)
             tail = [rand_fr() for _ in range(n - usable - 1)]
-            lk["z"], _ = grand_product(num, den, 1, tail)
+            z, _ = grand_product(num, den, 1, tail)
+            lk["z"] = keep(z)
     for p in range(num_proofs):
         for lk in lookups_data[p]:
-            lk["z_coeff"] = _intt(lk["z"], k)
+            lk["z_coeff"] = keep(_intt(jnp.asarray(lk["z"]), k))
             transcript.write_point(params.commit_coeff_mont(lk["z_coeff"]))
 
     # -- 6. vanishing random poly -----------------------------------------
     random_ints = [rand_fr() for _ in range(n)]
-    random_poly = ints_to_mont(random_ints)
+    random_poly = keep(ints_to_mont(random_ints))
     transcript.write_point(params.commit_coeff_mont(random_poly))
 
     y = transcript.squeeze_challenge()
@@ -556,7 +569,8 @@ def create_proof_accel(
     # -- 7. quotient h via coset-sharded evaluation -----------------------
     h_chunks = _compute_h_sharded(
         apk, num_proofs, advice_coeff, instance_coeff, lookups_data,
-        perm_z_coeff, challenge_list, theta, beta, gamma, y)
+        perm_z_coeff, challenge_list, theta, beta, gamma, y, spill=spill)
+    h_chunks = [keep(c) for c in h_chunks]
     qd = vk.quotient_poly_degree()
     assert len(h_chunks) >= qd
     h_pieces = h_chunks[:qd]
@@ -666,7 +680,7 @@ def create_proof_accel(
 def _compute_h_sharded(
     apk: AccelPk, num_proofs: int, advice_coeff, instance_coeff,
     lookups_data, perm_z_coeff, challenges: list[int],
-    theta: int, beta: int, gamma: int, y: int,
+    theta: int, beta: int, gamma: int, y: int, spill: bool = False,
 ) -> list[jnp.ndarray]:
     """Quotient computation on the extended coset domain, one size-n shard at
     a time. Returns the h coefficient chunks [h_0..h_{ratio-1}] (each (n,16)
@@ -713,13 +727,22 @@ def _compute_h_sharded(
     for s in range(ratio):
         coset = zeta * pow(w_ext, s, R) % R
         scale = mont_powers(coset, n)
-        ext_cache: dict[int, jnp.ndarray] = {}
+        # LRU-capped under spill: the full extended working set (~35 (n,16)
+        # arrays) exceeds HBM at k=22; misses re-run one size-n NTT
+        from collections import OrderedDict
+        ext_cache: OrderedDict = OrderedDict()
+        cache_cap = 16 if spill else None
 
         def ext(coeff_arr):
             key = id(coeff_arr)
-            if key not in ext_cache:
-                ext_cache[key] = ntt_dev(fo.mont_mul(FR16, coeff_arr, scale), k)
-            return ext_cache[key]
+            if key in ext_cache:
+                ext_cache.move_to_end(key)
+                return ext_cache[key]
+            val = ntt_dev(fo.mont_mul(FR16, jnp.asarray(coeff_arr), scale), k)
+            ext_cache[key] = val
+            if cache_cap is not None and len(ext_cache) > cache_cap:
+                ext_cache.popitem(last=False)
+            return val
 
         def roll(arr, rot):
             return jnp.roll(arr, -rot, axis=0) if rot else arr

@@ -141,7 +141,7 @@ def verify_setup(specs: list[TargetCircuitSpec], store: FolderStore,
 
     aparams = setup_cached_accel(agg_k)
     agg = AggregatorCircuit(_load_targets(specs, store))
-    vk, _apk = keygen_accel(agg, agg_k, aparams)
+    vk, _apk = keygen_accel(agg, agg_k, aparams, spill=agg_k >= 18)
     store.write_verify_vkey(vk)
     log.info("verify_setup: aggregator vkey at k=%d stored", agg_k)
     return vk
@@ -167,10 +167,11 @@ def verify_run(specs: list[TargetCircuitSpec], store: FolderStore,
     store.write_final_pair(w_x, w_g)
     store.write_verify_instance(instances)
 
-    vk, apk = keygen_accel(agg, agg_k, aparams)
+    spill = agg_k >= 18  # the k=22 working set exceeds one chip's HBM
+    vk, apk = keygen_accel(agg, agg_k, aparams, spill=spill)
     store.write_verify_vkey(vk)
     proof = create_proof_accel(apk, aparams, [agg], [instances], ShaWrite(),
-                               seed=seed)
+                               seed=seed, spill=spill)
     store.write_verify_proof(proof)
     log.info("verify_run: outer proof %d bytes at k=%d", len(proof), agg_k)
     return proof, instances
