@@ -102,6 +102,24 @@ def test_keygen_accel_matches_host():
         assert accel.mont_to_ints(acc_fc) == host_fc
 
 
+def test_accel_proof_spill_mode_bit_exact():
+    """spill=True (host-resident polynomials, LRU ext cache) must not change
+    a single byte."""
+    k = SimpleMulCircuit.K
+    params = ParamsKZG.setup_cached(k)
+    c = SimpleMulCircuit(8, 9)
+    vk, pk = keygen(c, k, params)
+    aparams = accel.AccelParams.from_params(params)
+    apk = accel.AccelPk.from_host(pk)
+    base = accel.create_proof_accel(apk, aparams, [c], [c.instances()],
+                                    PoseidonWrite(), seed=11)
+    vk2, apk2 = accel.keygen_accel(c, k, aparams, spill=True)
+    assert vk2.transcript_repr() == vk.transcript_repr()
+    spilled = accel.create_proof_accel(apk2, aparams, [c], [c.instances()],
+                                       PoseidonWrite(), seed=11, spill=True)
+    assert spilled == base
+
+
 def test_accel_proof_verifies():
     """Belt-and-braces: the accel proof also passes the abstract verifier."""
     from halo2_snark_aggregator_tpu.arith.value import ValueContext, ValueEccChip
