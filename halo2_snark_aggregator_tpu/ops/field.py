@@ -46,6 +46,20 @@ def limbs_to_int(a) -> int:
     return sum(int(a[..., i]) << (LIMB_BITS * i) for i in range(LIMBS))
 
 
+def ints_to_std(vals) -> np.ndarray:
+    """Bulk Python ints -> uint32[n, 16] standard-form limbs via one byte
+    buffer (the per-element shift loop of ints_to_limbs is ~10x slower)."""
+    buf = b"".join(int(v).to_bytes(32, "little") for v in vals)
+    return np.frombuffer(buf, dtype="<u2").reshape(len(vals), LIMBS).astype(np.uint32)
+
+
+def std_to_ints(arr) -> list[int]:
+    a = np.asarray(arr).astype("<u2")
+    buf = a.tobytes()
+    return [int.from_bytes(buf[i * 32 : (i + 1) * 32], "little")
+            for i in range(a.shape[0])]
+
+
 def ints_to_limbs(vs) -> np.ndarray:
     out = np.zeros((len(vs), LIMBS), dtype=np.uint32)
     for i, v in enumerate(vs):

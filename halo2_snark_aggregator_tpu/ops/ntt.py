@@ -34,20 +34,26 @@ def _plan(k: int, inverse: bool):
     if inverse:
         omega = pow(omega, -1, R)
     bits = k
-    rev = np.zeros(n, dtype=np.int32)
-    for i in range(n):
-        rev[i] = int(format(i, f"0{bits}b")[::-1], 2) if bits else 0
+    # vectorized bit-reversal permutation (a Python format() loop costs ~30s
+    # at k=22)
+    idx = np.arange(n, dtype=np.int64)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(bits):
+        rev = (rev << 1) | ((idx >> b) & 1)
+    rev = rev.astype(np.int32)
+    # per-stage twiddle tables: host power chains (total n modmuls), one bulk
+    # codec + Montgomery conversion on device per stage
     twiddles = []
     length = 2
     while length <= n:
         w_len = pow(omega, n // length, R)
         half = length // 2
-        tw = np.zeros((half, fo.LIMBS), dtype=np.uint32)
-        w = 1
-        for j in range(half):
-            tw[j] = FR.to_mont_int(w)
-            w = w * w_len % R
-        twiddles.append(tw)
+        # power chain directly in Montgomery form: seed with mont(1) = 2^256
+        # and multiply by the PLAIN w_len (preserves the 2^256 factor)
+        pw = [FR.r_mont] * half
+        for j in range(1, half):
+            pw[j] = pw[j - 1] * w_len % R
+        twiddles.append(fo.ints_to_std(pw))
         length <<= 1
     n_inv = FR.to_mont_int(pow(n, -1, R)) if inverse else None
     return rev, twiddles, n_inv

@@ -95,9 +95,19 @@ def mont_powers(base: int, n: int) -> jnp.ndarray:
 
 
 def _sum_mont_host(v) -> int:
-    """Exact host reduction of a (m, 16) Montgomery vector to the canonical
-    int value of the sum. Column sums fit int64 (m < 2^38 / 2^16); keeping
-    the reduction on host avoids one XLA compile per distinct tree shape."""
+    """Exact reduction of a (m, 16) Montgomery vector to the canonical int
+    value of the sum. For large m a device partial sum over 2048-row chunks
+    (16-bit limbs sum to < 2^27, safely inside uint32) shrinks the host
+    transfer from the full vector to (m/2048, 16); the final column sum is
+    exact in int64 (< 2^27 * 2^11 rows = 2^38)."""
+    m = v.shape[0]
+    if m >= (1 << 14):
+        c = 1 << 11
+        pad = (-m) % c
+        if pad:
+            v = jnp.concatenate(
+                [jnp.asarray(v), jnp.zeros((pad, 16), dtype=jnp.uint32)])
+        v = jnp.sum(jnp.asarray(v).reshape(-1, c, 16), axis=1)
     cols = np.asarray(v).astype(np.int64).sum(axis=0)
     total = sum(int(c) << (16 * i) for i, c in enumerate(cols))
     rinv = pow(1 << 256, -1, R)
@@ -610,12 +620,19 @@ def create_proof_accel(
             return random_poly
         raise KeyError(ref)
 
-    powers_cache: dict[int, jnp.ndarray] = {}
+    from collections import OrderedDict
+    powers_cache: OrderedDict = OrderedDict()
+    powers_cap = 4 if spill else None  # each vector is n*64B of HBM
 
     def powers_of(z: int):
-        if z not in powers_cache:
-            powers_cache[z] = mont_powers(z, n)
-        return powers_cache[z]
+        if z in powers_cache:
+            powers_cache.move_to_end(z)
+            return powers_cache[z]
+        val = mont_powers(z, n)
+        powers_cache[z] = val
+        if powers_cap is not None and len(powers_cache) > powers_cap:
+            powers_cache.popitem(last=False)
+        return val
 
     def ev(poly, z: int) -> int:
         return _eval_at(poly, powers_of(z))

@@ -79,37 +79,46 @@ def _digits_u8(scalars_std: np.ndarray) -> np.ndarray:
 
 
 def fixed_base_msm(scalars_std: np.ndarray, tables_f32: np.ndarray,
-                   chunk: int = 1 << 18) -> tuple:
-    """[s_i * G for each scalar] as a projective RR triple on device."""
+                   chunk: int = 1 << 15) -> tuple:
+    """[s_i * G for each scalar] as a projective RR triple on device.
+
+    Staged as several SMALL jitted programs (one-hot select; one pairwise
+    complete-add per tree level) — a single fused program with 31 unrolled
+    RCB adds wedges the axon compiler for tens of minutes (same lesson as
+    msm_staged / the 'no minutes-long XLA program' rule)."""
     import jax
 
     n = scalars_std.shape[0]
     digits = _digits_u8(scalars_std)
 
     @jax.jit
-    def one_chunk(dig_chunk, tables):
-        # (m, 32) digits -> one-hot -> select -> tree-add over positions
+    def select(dig_chunk, tables):
+        # (m, 32) digits -> one-hot -> exact selection by matmul (one-hot
+        # rows have a single 1; limb values are < 2^8, bf16-exact)
         onehot = jax.nn.one_hot(dig_chunk, 1 << WINDOW, dtype=jnp.float32)
-        sel = jnp.einsum("mjd,jdl->mjl", onehot, tables)  # (m, 32, 96)
+        sel = jnp.einsum("mjd,jdl->mjl", onehot, tables,
+                         precision=jax.lax.Precision.HIGHEST)  # (m, 32, 96)
         sel = sel.astype(jnp.int32)
-        px = frr.RR(sel[..., : frr.NLIMBS], 8)
-        py = frr.RR(sel[..., frr.NLIMBS : 2 * frr.NLIMBS], 8)
-        pz = frr.RR(sel[..., 2 * frr.NLIMBS :], 8)
-        pts = (px, py, pz)
-        m = POSITIONS
-        while m > 1:
-            half = m // 2
-            a = tuple(frr.RR(c.limbs[:, :half], c.bound) for c in pts)
-            b = tuple(frr.RR(c.limbs[:, half:m], c.bound) for c in pts)
-            pts = tuple(frr.with_bound(c, msm_ops.CARRY_BOUND)
-                        for c in cv.add(a, b))
-            m = half
-        return tuple(frr.RR(c.limbs[:, 0], c.bound) for c in pts)
+        return (frr.RR(sel[..., : frr.NLIMBS], 8),
+                frr.RR(sel[..., frr.NLIMBS : 2 * frr.NLIMBS], 8),
+                frr.RR(sel[..., 2 * frr.NLIMBS :], 8))
+
+    @jax.jit
+    def level_add(pts):
+        m = pts[0].limbs.shape[1]
+        half = m // 2
+        a = tuple(frr.RR(c.limbs[:, :half], c.bound) for c in pts)
+        b = tuple(frr.RR(c.limbs[:, half:m], c.bound) for c in pts)
+        return tuple(frr.with_bound(c, msm_ops.CARRY_BOUND)
+                     for c in cv.add(a, b))
 
     tb = jnp.asarray(tables_f32)
     outs = []
     for lo in range(0, n, chunk):
-        outs.append(one_chunk(jnp.asarray(digits[lo : lo + chunk]), tb))
+        pts = select(jnp.asarray(digits[lo : lo + chunk]), tb)
+        while pts[0].limbs.shape[1] > 1:
+            pts = level_add(pts)
+        outs.append(tuple(frr.RR(c.limbs[:, 0], c.bound) for c in pts))
     if len(outs) == 1:
         return outs[0]
     return tuple(
