@@ -69,11 +69,35 @@ def std_to_ints(arr) -> list[int]:
 
 def ints_to_mont(vals) -> jnp.ndarray:
     """Python ints -> device Montgomery Fr vector."""
-    return fo.to_mont(FR16, jnp.asarray(ints_to_std(vals)))
+    return fo.to_mont(FR16, np_to_dev(ints_to_std(vals)))
 
 
 def mont_to_ints(arr) -> list[int]:
-    return std_to_ints(np.asarray(fo.from_mont(FR16, arr)))
+    # np_to_dev accepts both host and device inputs (slicing is a no-op copy
+    # on device); dev_to_np bounds the return transfer
+    return std_to_ints(dev_to_np(fo.from_mont(FR16, np_to_dev(arr))))
+
+
+_XFER_ROWS = 1 << 18  # ~32-64MB slices: whole-array transfers through the
+                      # axon tunnel fail with RESOURCE_EXHAUSTED at ~0.5GB
+
+
+def dev_to_np(x) -> np.ndarray:
+    """Device -> host in bounded slices along axis 0."""
+    n = x.shape[0]
+    if n <= _XFER_ROWS:
+        return np.asarray(x)
+    return np.concatenate([np.asarray(x[i : i + _XFER_ROWS])
+                           for i in range(0, n, _XFER_ROWS)])
+
+
+def np_to_dev(x) -> jnp.ndarray:
+    """Host -> device in bounded slices along axis 0."""
+    n = x.shape[0]
+    if n <= _XFER_ROWS:
+        return jnp.asarray(x)
+    return jnp.concatenate([jnp.asarray(x[i : i + _XFER_ROWS])
+                            for i in range(0, n, _XFER_ROWS)])
 
 
 def mont_scalar(v: int) -> jnp.ndarray:
@@ -214,7 +238,7 @@ class AccelParams:
             return ff.g1_msm(self.host.g[: len(scalars)], scalars)
         m = coeffs_mont.shape[0]
         scalars = np.zeros((self.n, 16), dtype=np.uint32)
-        scalars[:m] = np.asarray(fo.from_mont(FR16, coeffs_mont))
+        scalars[:m] = dev_to_np(fo.from_mont(FR16, jnp.asarray(coeffs_mont)))
         out = msm_ops.msm_staged(self.g_dev, scalars, c=8)
         host = tuple(frr.RR(np.asarray(c.limbs)[None], c.bound) for c in out)
         return cv.to_affine_ints(host)[0]
@@ -284,7 +308,7 @@ def keygen_accel(circuit, k: int, params: AccelParams,
     keep = (lambda x: np.asarray(x)) if spill else (lambda x: x)
     domain = Domain(k)
     fixed_lagrange = [keep(ints_to_mont(col)) for col in assignment.fixed]
-    fixed_coeff = [keep(_intt(jnp.asarray(col), k)) for col in fixed_lagrange]
+    fixed_coeff = [keep(_intt(np_to_dev(col), k)) for col in fixed_lagrange]
 
     # permutation mapping: cycle-splice union-find over flat numpy arrays
     cols = cs.permutation_columns
@@ -322,7 +346,7 @@ def keygen_accel(circuit, k: int, params: AccelParams,
         dl = jnp.asarray(delta_std[mc[ci]])
         sigmas_lagrange.append(keep(
             fo.mont_mul(FR16, fo.to_mont(FR16, om), fo.to_mont(FR16, dl))))
-    sigmas_coeff = [keep(_intt(jnp.asarray(s), k)) for s in sigmas_lagrange]
+    sigmas_coeff = [keep(_intt(np_to_dev(s), k)) for s in sigmas_lagrange]
 
     fixed_commitments = [params.commit_coeff_mont(c) for c in fixed_coeff]
     permutation_commitments = [params.commit_coeff_mont(s) for s in sigmas_coeff]
@@ -478,8 +502,8 @@ def create_proof_accel(
 
     for p in range(num_proofs):
         for lk in lookups_data[p]:
-            lk["a_coeff"] = keep(_intt(jnp.asarray(lk["a_perm"]), k))
-            lk["s_coeff"] = keep(_intt(jnp.asarray(lk["s_perm"]), k))
+            lk["a_coeff"] = keep(_intt(np_to_dev(lk["a_perm"]), k))
+            lk["s_coeff"] = keep(_intt(np_to_dev(lk["s_perm"]), k))
             transcript.write_point(params.commit_coeff_mont(lk["a_coeff"]))
             transcript.write_point(params.commit_coeff_mont(lk["s_coeff"]))
 
@@ -546,7 +570,7 @@ def create_proof_accel(
             sets.append(keep(z))
         perm_z.append(sets)
 
-    perm_z_coeff = [[keep(_intt(jnp.asarray(z), k)) for z in sets]
+    perm_z_coeff = [[keep(_intt(np_to_dev(z), k)) for z in sets]
                     for sets in perm_z]
     for p in range(num_proofs):
         for zc in perm_z_coeff[p]:
@@ -566,7 +590,7 @@ def create_proof_accel(
             lk["z"] = keep(z)
     for p in range(num_proofs):
         for lk in lookups_data[p]:
-            lk["z_coeff"] = keep(_intt(jnp.asarray(lk["z"]), k))
+            lk["z_coeff"] = keep(_intt(np_to_dev(lk["z"]), k))
             transcript.write_point(params.commit_coeff_mont(lk["z_coeff"]))
 
     # -- 6. vanishing random poly -----------------------------------------
@@ -755,7 +779,7 @@ def _compute_h_sharded(
             if key in ext_cache:
                 ext_cache.move_to_end(key)
                 return ext_cache[key]
-            val = ntt_dev(fo.mont_mul(FR16, jnp.asarray(coeff_arr), scale), k)
+            val = ntt_dev(fo.mont_mul(FR16, np_to_dev(coeff_arr), scale), k)
             ext_cache[key] = val
             if cache_cap is not None and len(ext_cache) > cache_cap:
                 ext_cache.popitem(last=False)

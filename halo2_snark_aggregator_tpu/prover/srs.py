@@ -32,7 +32,7 @@ from ..ff import bn254 as ff
 from ..ops import curve_rr as cv
 from ..ops import field_rr as frr
 from ..ops import msm as msm_ops
-from .accel import AccelParams, ints_to_std
+from .accel import AccelParams, ints_to_std, np_to_dev
 from .domain import Domain
 from .kzg import ParamsKZG
 
@@ -113,18 +113,18 @@ def fixed_base_msm(scalars_std: np.ndarray, tables_f32: np.ndarray,
                      for c in cv.add(a, b))
 
     tb = jnp.asarray(tables_f32)
-    outs = []
+    host_chunks = []  # per-chunk (3, m, 32) int32 — small bounded transfers
+    bound = None
     for lo in range(0, n, chunk):
         pts = select(jnp.asarray(digits[lo : lo + chunk]), tb)
         while pts[0].limbs.shape[1] > 1:
             pts = level_add(pts)
-        outs.append(tuple(frr.RR(c.limbs[:, 0], c.bound) for c in pts))
-    if len(outs) == 1:
-        return outs[0]
-    return tuple(
-        frr.RR(jnp.concatenate([o[i].limbs for o in outs], axis=0), outs[0][i].bound)
-        for i in range(3)
-    )
+        bound = pts[0].bound
+        host_chunks.append(np.stack(
+            [np.asarray(c.limbs[:, 0], dtype=np.int32) for c in pts]))
+    host = np.concatenate(host_chunks, axis=1)  # (3, n, 32)
+    dev = tuple(frr.RR(np_to_dev(host[i]), bound) for i in range(3))
+    return dev, host
 
 
 def _tau_for(k: int, seed: bytes) -> int:
@@ -141,7 +141,7 @@ def unsafe_setup_accel(k: int, seed: bytes = b"halo2-snark-aggregator-tpu",
     for i in range(1, n):
         taus[i] = taus[i - 1] * tau % ff.R
     tables = _host_tables()
-    g_dev = fixed_base_msm(ints_to_std(taus), _tables_mont_limbs(tables))
+    g_dev, g_host = fixed_base_msm(ints_to_std(taus), _tables_mont_limbs(tables))
 
     # Lagrange-basis prefix for (small) instance-column commitments:
     # L_i(tau) = (omega^i / n) (tau^n - 1) / (tau - omega^i)
@@ -155,7 +155,9 @@ def unsafe_setup_accel(k: int, seed: bytes = b"halo2-snark-aggregator-tpu",
         li = w * n_inv % ff.R * (tau_n - 1) % ff.R * pow(tau - w, -1, ff.R) % ff.R
         g_lagrange.append(ff.g1_mul(ff.G1_GEN, li))
         w = w * dom.omega % ff.R
-    return AccelParams(k, g_dev, ff.G2_GEN, ff.g2_mul(ff.G2_GEN, tau), g_lagrange)
+    p = AccelParams(k, g_dev, ff.G2_GEN, ff.g2_mul(ff.G2_GEN, tau), g_lagrange)
+    p.g_host_limbs = g_host  # (3, n, 32) Montgomery RR limbs for disk caching
+    return p
 
 
 def _srs_cache_path(k: int, cache_dir) -> Path:
@@ -173,7 +175,7 @@ def setup_cached_accel(k: int, cache_dir=None) -> AccelParams:
     if path.exists():
         data = np.load(path, allow_pickle=True)
         limbs = data["g_rr"]  # int32 (3, n, NLIMBS) Montgomery RR limbs
-        g_dev = tuple(frr.RR(jnp.asarray(limbs[i]), 8) for i in range(3))
+        g_dev = tuple(frr.RR(np_to_dev(limbs[i]), 12) for i in range(3))
         g_lagrange = [None if r[2] == 0 else (int(r[0]), int(r[1]))
                       for r in data["g_lagrange"]]
 
@@ -184,7 +186,7 @@ def setup_cached_accel(k: int, cache_dir=None) -> AccelParams:
         return AccelParams(k, g_dev, g2_point(data["g2"]),
                            g2_point(data["s_g2"]), g_lagrange)
     params = unsafe_setup_accel(k)
-    g_rr = np.stack([np.asarray(c.limbs, dtype=np.int32) for c in params.g_dev])
+    g_rr = params.g_host_limbs
     g_lag = np.array(
         [[pt[0], pt[1], 1] if pt is not None else [0, 0, 0]
          for pt in params.g_lagrange], dtype=object)
