@@ -46,6 +46,30 @@ def limbs_to_int(a) -> int:
     return sum(int(a[..., i]) << (LIMB_BITS * i) for i in range(LIMBS))
 
 
+XFER_ROWS = 1 << 18  # bounded host<->device slices: whole-array transfers
+                     # through the axon tunnel RESOURCE_EXHAUST at ~0.5GB
+
+
+def dev_to_np(x) -> np.ndarray:
+    """Device -> host in bounded slices along axis 0."""
+    n = x.shape[0]
+    if n <= XFER_ROWS:
+        return np.asarray(x)
+    return np.concatenate([np.asarray(x[i : i + XFER_ROWS])
+                           for i in range(0, n, XFER_ROWS)])
+
+
+def np_to_dev(x):
+    """Host -> device in bounded slices along axis 0 (device input: no-op
+    concat of slices)."""
+    import jax.numpy as _jnp
+    n = x.shape[0]
+    if n <= XFER_ROWS:
+        return _jnp.asarray(x)
+    return _jnp.concatenate([_jnp.asarray(x[i : i + XFER_ROWS])
+                             for i in range(0, n, XFER_ROWS)])
+
+
 def ints_to_std(vals) -> np.ndarray:
     """Bulk Python ints -> uint32[n, 16] standard-form limbs via one byte
     buffer (the per-element shift loop of ints_to_limbs is ~10x slower)."""

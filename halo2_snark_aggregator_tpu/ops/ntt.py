@@ -82,6 +82,55 @@ def ntt(values, k: int, inverse: bool = False):
     return x
 
 
+@functools.partial(jax.jit, static_argnames=("half",))
+def _stage(x, tw, half: int):
+    """One butterfly stage as its own small program: the 22-stage fused graph
+    at k=22 wedges the axon compiler (same lesson as the staged MSM/SRS)."""
+    n = x.shape[0]
+    length = 2 * half
+    blocks = n // length
+    x = x.reshape(blocks, length, fo.LIMBS)
+    u = x[:, :half]
+    v = fo.mont_mul(FR, x[:, half:], tw[None])
+    return jnp.concatenate([fo.add(FR, u, v), fo.sub(FR, u, v)],
+                           axis=1).reshape(n, fo.LIMBS)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _scale_n_inv(x, n_inv):
+    return fo.mont_mul(FR, x, jnp.broadcast_to(n_inv, x.shape))
+
+
+def ntt_staged(values, k: int, inverse: bool = False):
+    """Large-k NTT: one jitted program per butterfly stage, and the
+    bit-reversal permutation on HOST when the input is host-resident (a 2^k
+    device gather lowers to scalar loads on TPU). Same result as ntt()."""
+    rev, twiddles, n_inv = _plan(k, inverse)
+    if isinstance(values, np.ndarray):
+        x = fo.np_to_dev(values[rev])
+    else:
+        # device input: round-trip via host is usually cheaper than a 4M-
+        # element device gather on TPU
+        host = fo.dev_to_np(values)
+        x = fo.np_to_dev(host[rev])
+    for tw in twiddles:
+        x = _stage(x, jnp.asarray(tw), tw.shape[0])
+    if inverse:
+        x = _scale_n_inv(x, jnp.asarray(n_inv))
+    return x
+
+
+STAGED_K = 16
+
+
+def ntt_auto(values, k: int, inverse: bool = False):
+    """Dispatch: fused single program for small k (fast dispatch, cheap
+    compile), staged per-stage programs for large k."""
+    if k < STAGED_K:
+        return ntt(jnp.asarray(values), k, inverse)
+    return ntt_staged(values, k, inverse)
+
+
 def ntt_host_ints(vals: list[int], k: int, inverse: bool = False) -> list[int]:
     """Host ints in/out convenience wrapper (Montgomery conversion included)."""
     mont = np.stack([FR.to_mont_int(v % R) for v in vals])

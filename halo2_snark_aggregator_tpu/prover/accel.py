@@ -38,7 +38,7 @@ from ..ops import curve_rr as cv
 from ..ops import field as fo
 from ..ops import field_rr as frr
 from ..ops import msm as msm_ops
-from ..ops.ntt import ntt as ntt_dev
+from ..ops.ntt import ntt_auto as ntt_dev
 from ..protocol.plonk import Expression, VerifyingKey
 from ..protocol.queryplan import query_plan, rotation_sets
 from .domain import Domain, omega_for_k
@@ -78,26 +78,7 @@ def mont_to_ints(arr) -> list[int]:
     return std_to_ints(dev_to_np(fo.from_mont(FR16, np_to_dev(arr))))
 
 
-_XFER_ROWS = 1 << 18  # ~32-64MB slices: whole-array transfers through the
-                      # axon tunnel fail with RESOURCE_EXHAUSTED at ~0.5GB
-
-
-def dev_to_np(x) -> np.ndarray:
-    """Device -> host in bounded slices along axis 0."""
-    n = x.shape[0]
-    if n <= _XFER_ROWS:
-        return np.asarray(x)
-    return np.concatenate([np.asarray(x[i : i + _XFER_ROWS])
-                           for i in range(0, n, _XFER_ROWS)])
-
-
-def np_to_dev(x) -> jnp.ndarray:
-    """Host -> device in bounded slices along axis 0."""
-    n = x.shape[0]
-    if n <= _XFER_ROWS:
-        return jnp.asarray(x)
-    return jnp.concatenate([jnp.asarray(x[i : i + _XFER_ROWS])
-                            for i in range(0, n, _XFER_ROWS)])
+from ..ops.field import dev_to_np, np_to_dev  # bounded tunnel transfers
 
 
 def mont_scalar(v: int) -> jnp.ndarray:
