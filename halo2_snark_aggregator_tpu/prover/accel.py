@@ -27,6 +27,7 @@ call order) — differentially tested in tests/test_accel_prover.py.
 
 from __future__ import annotations
 
+import logging
 import random as _random
 
 import jax.numpy as jnp
@@ -47,6 +48,7 @@ from .kzg import ParamsKZG
 from .prove import _permute_pair
 
 FR16 = fo.FR
+log = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------------------
@@ -284,7 +286,9 @@ def keygen_accel(circuit, k: int, params: AccelParams,
     usable = n - (cs.blinding_factors() + 1)
     if assignment is None:
         assignment = Assignment(cs, n, usable, instances)
+        log.info("keygen_accel: synthesizing (n=%d)...", n)
         circuit.synthesize(config, assignment)
+    log.info("keygen_accel: witness ready; %d copies", len(assignment.copies))
 
     keep = (lambda x: np.asarray(x)) if spill else (lambda x: x)
     domain = Domain(k)
@@ -316,6 +320,7 @@ def keygen_accel(circuit, k: int, params: AccelParams,
         map_flat[a], map_flat[b] = map_flat[b], map_flat[a]
         aux[ra] = rb
 
+    log.info("keygen_accel: permutation mapping built")
     # sigma[c][r] = delta^{mc} * omega^{mr} where (mc, mr) = mapping[c][r]
     omega_pows_std = np.asarray(fo.from_mont(FR16, mont_powers(domain.omega, n)))
     delta_std = ints_to_std([pow(FR_DELTA, c, R) for c in range(ncols)])
@@ -329,8 +334,11 @@ def keygen_accel(circuit, k: int, params: AccelParams,
             fo.mont_mul(FR16, fo.to_mont(FR16, om), fo.to_mont(FR16, dl))))
     sigmas_coeff = [keep(_intt(np_to_dev(s), k)) for s in sigmas_lagrange]
 
+    log.info("keygen_accel: sigmas done; committing %d fixed + %d sigma cols",
+             len(fixed_coeff), len(sigmas_coeff))
     fixed_commitments = [params.commit_coeff_mont(c) for c in fixed_coeff]
     permutation_commitments = [params.commit_coeff_mont(s) for s in sigmas_coeff]
+    log.info("keygen_accel: commitments done")
 
     vk = VerifyingKey(
         k=k, cs=cs,
@@ -435,6 +443,7 @@ def create_proof_accel(
         for ch_idx, ch_phase in enumerate(cs.challenge_phase):
             if ch_phase == phase:
                 challenges[ch_idx] = transcript.squeeze_challenge()
+        log.info("accel prove: phase %d advice committed", phase)
     challenge_list = [challenges.get(i, 0) for i in range(cs.num_challenges)]
 
     theta = transcript.squeeze_challenge()
@@ -488,6 +497,7 @@ def create_proof_accel(
             transcript.write_point(params.commit_coeff_mont(lk["a_coeff"]))
             transcript.write_point(params.commit_coeff_mont(lk["s_coeff"]))
 
+    log.info("accel prove: lookup permuted pairs committed")
     beta = transcript.squeeze_challenge()
     gamma = transcript.squeeze_challenge()
     beta_b = _bcast(mont_scalar(beta), n)
@@ -580,6 +590,7 @@ def create_proof_accel(
     transcript.write_point(params.commit_coeff_mont(random_poly))
 
     y = transcript.squeeze_challenge()
+    log.info("accel prove: grand products committed; computing quotient h")
 
     # -- 7. quotient h via coset-sharded evaluation -----------------------
     h_chunks = _compute_h_sharded(
@@ -592,6 +603,7 @@ def create_proof_accel(
     for piece in h_pieces:
         transcript.write_point(params.commit_coeff_mont(piece))
 
+    log.info("accel prove: h committed")
     x = transcript.squeeze_challenge()
     xn = pow(x, n, R)
 
@@ -671,6 +683,7 @@ def create_proof_accel(
             transcript.write_scalar(ev(lk["a_coeff"], x_inv))
             transcript.write_scalar(ev(lk["s_coeff"], x))
 
+    log.info("accel prove: evaluations written")
     v = transcript.squeeze_challenge()
     v_b = _bcast(mont_scalar(v), n)
 
@@ -691,6 +704,7 @@ def create_proof_accel(
             fo.batch_inv_tree(FR16, den))
         w_coeff = _intt(w_lag, k)
         transcript.write_point(params.commit_coeff_mont(w_coeff))
+        log.info("accel prove: opening for rotation %d committed", rot)
 
     return transcript.finalize()
 
@@ -868,6 +882,7 @@ def _compute_h_sharded(
                     FR16, a_minus_s, fo.sub(FR16, ac_e, a_prev)), active))
 
         # divide by the vanishing constant zeta^n * w_ext^{sn} - 1
+        log.info("accel prove: quotient shard %d/%d evaluated", s + 1, ratio)
         vanish = (pow(zeta, n, R) * pow(w_ext, s * n, R) - 1) % R
         inv_vanish = _bcast(mont_scalar(pow(vanish, -1, R)), n)
         h_evals = fo.mont_mul(FR16, acc, inv_vanish)
