@@ -179,6 +179,10 @@ def bench_outer():
     agg_k = int(os.environ.get("OUTER_K", "22"))
     store = FolderStore(os.environ.get("OUTER_FOLDER", "/tmp/bench_outer"))
     spec = demo_spec()
+    # our in-circuit verifier currently costs ~2.3M rows per inner proof, so
+    # k=22 fits ONE proof (the reference fits 2 — row-count optimization is
+    # future work; use OUTER_K=23 OUTER_NPROOFS=2 for the 2-proof shape)
+    spec.n_proofs = int(os.environ.get("OUTER_NPROOFS", "1"))
     if not store.exists(f"sample_circuit_{spec.name}.params"):
         harness.sample_setup(spec, store)
         harness.sample_run(spec, store)

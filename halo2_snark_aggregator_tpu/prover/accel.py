@@ -27,9 +27,11 @@ call order) — differentially tested in tests/test_accel_prover.py.
 
 from __future__ import annotations
 
+import functools
 import logging
 import random as _random
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,13 +73,13 @@ def std_to_ints(arr) -> list[int]:
 
 def ints_to_mont(vals) -> jnp.ndarray:
     """Python ints -> device Montgomery Fr vector."""
-    return fo.to_mont(FR16, np_to_dev(ints_to_std(vals)))
+    return m_to_mont(np_to_dev(ints_to_std(vals)))
 
 
 def mont_to_ints(arr) -> list[int]:
     # np_to_dev accepts both host and device inputs (slicing is a no-op copy
     # on device); dev_to_np bounds the return transfer
-    return std_to_ints(dev_to_np(fo.from_mont(FR16, np_to_dev(arr))))
+    return std_to_ints(dev_to_np(m_from_mont(np_to_dev(arr))))
 
 
 from ..ops.field import dev_to_np, np_to_dev  # bounded tunnel transfers
@@ -96,7 +98,7 @@ def mont_powers(base: int, n: int) -> jnp.ndarray:
     p = jnp.stack([one, mont_scalar(base)])
     cur = mont_scalar(base * base % R)[None]
     while p.shape[0] < n:
-        p = jnp.concatenate([p, fo.mont_mul(FR16, p, cur)], axis=0)
+        p = jnp.concatenate([p, m_mul(p, cur)], axis=0)
         cur = fo.mont_sqr(FR16, cur)
     return p[:n]
 
@@ -129,7 +131,7 @@ def _cumprod_mont(v) -> jnp.ndarray:
     d = 1
     while d < n:
         shifted = jnp.concatenate([ones[:d], v[:-d]], axis=0)
-        v = fo.mont_mul(FR16, v, shifted)
+        v = m_mul(v, shifted)
         d *= 2
     return v
 
@@ -139,7 +141,80 @@ def _eval_at(poly_mont, powers) -> int:
     vector is `powers`; returns a canonical int. The dot product's additive
     reduction happens host-side exactly (see _sum_mont_host)."""
     n = poly_mont.shape[0]
-    return _sum_mont_host(fo.mont_mul(FR16, poly_mont, powers[:n]))
+    return _sum_mont_host(m_mul(poly_mont, powers[:n]))
+
+
+
+# ---------------------------------------------------------------------------
+# Jitted row-chunked field ops.
+#
+# The ops/field.py kernels are written for jit fusion: ONE eager mont_mul at
+# (4M,16) materializes the (4M,16,16) product tensor plus 32 padded copies
+# (~16GB) and OOMs the chip. Every row-wise op in this engine therefore goes
+# through a jitted wrapper applied in fixed 2^18-row chunks — bounded
+# transients, and exactly two compiled shapes per op for any k.
+# ---------------------------------------------------------------------------
+
+_CHUNK = 1 << 18
+
+
+def _rowwise(fn):
+    jfn = jax.jit(fn)
+
+    def run(*args):
+        n = None
+        for a in args:
+            if hasattr(a, "ndim") and a.ndim == 2:
+                n = a.shape[0] if n is None else max(n, a.shape[0])
+        if n is None or n <= _CHUNK:
+            return jfn(*args)
+        outs = []
+        for i in range(0, n, _CHUNK):
+            sl = [a[i : i + _CHUNK]
+                  if (hasattr(a, "ndim") and a.ndim == 2 and a.shape[0] == n)
+                  else a for a in args]
+            outs.append(jfn(*sl))
+        return jnp.concatenate(outs, axis=0)
+
+    return run
+
+
+m_mul = _rowwise(lambda a, b: fo.mont_mul(FR16, a, b))
+m_add = _rowwise(lambda a, b: fo.add(FR16, a, b))
+m_sub = _rowwise(lambda a, b: fo.sub(FR16, a, b))
+m_to_mont = _rowwise(lambda a: fo.to_mont(FR16, a))
+m_from_mont = _rowwise(lambda a: fo.from_mont(FR16, a))
+
+_select_j = jax.jit(fo.select)
+
+
+def m_select(cond, a, b):
+    n = a.shape[0]
+    if n <= _CHUNK:
+        return _select_j(cond, a, b)
+    return jnp.concatenate([
+        _select_j(cond[i : i + _CHUNK], a[i : i + _CHUNK], b[i : i + _CHUNK])
+        for i in range(0, n, _CHUNK)], axis=0)
+
+
+_binv_j = jax.jit(functools.partial(fo.batch_inv_tree, FR16))
+
+
+def _batch_inv(v):
+    """Batched inversion. Small inputs: the fused inversion tree. Large
+    inputs: chunked prefix/suffix products with ONE host inversion of the
+    total — assumes nonzero entries (our denominators are random-shifted)."""
+    n = v.shape[0]
+    if n <= _CHUNK:
+        return _binv_j(v)
+    pre = _cumprod_mont(v)
+    suf = jnp.flip(_cumprod_mont(jnp.flip(v, 0)), 0)
+    total_int = mont_to_ints(pre[n - 1 : n])[0]
+    inv_total = _bcast(mont_scalar(pow(total_int, -1, R)), n)
+    one = mont_scalar(1)[None]
+    pre_shift = jnp.concatenate([one, pre[:-1]], axis=0)
+    suf_shift = jnp.concatenate([suf[1:], one], axis=0)
+    return m_mul(m_mul(pre_shift, suf_shift), inv_total)
 
 
 # ---------------------------------------------------------------------------
@@ -221,7 +296,7 @@ class AccelParams:
             return ff.g1_msm(self.host.g[: len(scalars)], scalars)
         m = coeffs_mont.shape[0]
         scalars = np.zeros((self.n, 16), dtype=np.uint32)
-        scalars[:m] = dev_to_np(fo.from_mont(FR16, jnp.asarray(coeffs_mont)))
+        scalars[:m] = dev_to_np(m_from_mont(jnp.asarray(coeffs_mont)))
         out = msm_ops.msm_staged(self.g_dev, scalars, c=8)
         host = tuple(frr.RR(np.asarray(c.limbs)[None], c.bound) for c in out)
         return cv.to_affine_ints(host)[0]
@@ -322,7 +397,7 @@ def keygen_accel(circuit, k: int, params: AccelParams,
 
     log.info("keygen_accel: permutation mapping built")
     # sigma[c][r] = delta^{mc} * omega^{mr} where (mc, mr) = mapping[c][r]
-    omega_pows_std = np.asarray(fo.from_mont(FR16, mont_powers(domain.omega, n)))
+    omega_pows_std = np.asarray(m_from_mont(mont_powers(domain.omega, n)))
     delta_std = ints_to_std([pow(FR_DELTA, c, R) for c in range(ncols)])
     mc = (map_flat // n).astype(np.int64).reshape(ncols, n)
     mr = (map_flat % n).astype(np.int64).reshape(ncols, n)
@@ -331,7 +406,7 @@ def keygen_accel(circuit, k: int, params: AccelParams,
         om = jnp.asarray(omega_pows_std[mr[ci]])
         dl = jnp.asarray(delta_std[mc[ci]])
         sigmas_lagrange.append(keep(
-            fo.mont_mul(FR16, fo.to_mont(FR16, om), fo.to_mont(FR16, dl))))
+            m_mul(m_to_mont(om), m_to_mont(dl))))
     sigmas_coeff = [keep(_intt(np_to_dev(s), k)) for s in sigmas_lagrange]
 
     log.info("keygen_accel: sigmas done; committing %d fixed + %d sigma cols",
@@ -459,17 +534,17 @@ def create_proof_accel(
             instance=lambda q: jnp.roll(instance_lagrange[p][cs.instance_queries[q][0]],
                                         -cs.instance_queries[q][1], axis=0),
             challenge=lambda i: _bcast(mont_scalar(challenge_list[i]), n),
-            neg=lambda a: fo.sub(FR16, jnp.zeros_like(a), a),
-            add=lambda a, b: fo.add(FR16, a, b),
-            mul=lambda a, b: fo.mont_mul(FR16, a, b),
-            scale=lambda a, s: fo.mont_mul(FR16, a, _bcast(mont_scalar(s), n)),
+            neg=lambda a: m_sub(jnp.zeros_like(a), a),
+            add=lambda a, b: m_add(a, b),
+            mul=lambda a, b: m_mul(a, b),
+            scale=lambda a, s: m_mul(a, _bcast(mont_scalar(s), n)),
         )
 
     def compress(exprs: list[Expression], p: int):
         theta_b = _bcast(mont_scalar(theta), n)
         out = jnp.zeros((n, 16), dtype=jnp.uint32)
         for e in exprs:
-            out = fo.add(FR16, fo.mont_mul(FR16, out, theta_b), eval_expr_rows(e, p))
+            out = m_add(m_mul(out, theta_b), eval_expr_rows(e, p))
         return out
 
     # -- 3. lookups: permuted pairs ---------------------------------------
@@ -518,11 +593,11 @@ def create_proof_accel(
     def grand_product(num, den, z0: int, tail_draws: list[int]):
         """z[0]=z0, z[i+1] = z[i] * num[i]/den[i] for i < usable; returns the
         device Lagrange vector with the random tail and z[usable] (int)."""
-        inv_den = fo.batch_inv_tree(FR16, den)
-        ratio = fo.mont_mul(FR16, num, inv_den)
+        inv_den = _batch_inv(den)
+        ratio = m_mul(num, inv_den)
         cp = _cumprod_mont(ratio)  # cp[i] = prod_{j<=i} ratio[j]
         z0_b = _bcast(mont_scalar(z0), n)
-        cp = fo.mont_mul(FR16, cp, z0_b)
+        cp = m_mul(cp, z0_b)
         # z = [z0, z0*cp[0], ..., z0*cp[usable-1], tail...]
         z = jnp.concatenate([z0_b[:1], cp[:usable]], axis=0)
         z_last = mont_to_ints(z[usable : usable + 1])[0]
@@ -549,13 +624,13 @@ def create_proof_accel(
                 do = fo.mont_mul(
                     FR16, omega_pows,
                     _bcast(mont_scalar(pow(FR_DELTA, chunk_idx + j, R)), n))
-                num = fo.mont_mul(FR16, num, fo.add(
-                    FR16, v, fo.add(FR16, fo.mont_mul(FR16, beta_b, do), gamma_b)))
-                den = fo.mont_mul(FR16, den, fo.add(
-                    FR16, v, fo.add(FR16, fo.mont_mul(FR16, beta_b, sigma), gamma_b)))
+                num = m_mul(num, fo.add(
+                    FR16, v, m_add(m_mul(beta_b, do), gamma_b)))
+                den = m_mul(den, fo.add(
+                    FR16, v, m_add(m_mul(beta_b, sigma), gamma_b)))
             # mask the blinded tail out of the product (den=num=1 there)
-            num = fo.select((usable_mask_d[:, 0] == 1), num, one_v)
-            den = fo.select((usable_mask_d[:, 0] == 1), den, one_v)
+            num = m_select((usable_mask_d[:, 0] == 1), num, one_v)
+            den = m_select((usable_mask_d[:, 0] == 1), den, one_v)
             tail = [rand_fr() for _ in range(n - usable - 1)]
             z, last_z = grand_product(num, den, last_z, tail)
             sets.append(keep(z))
@@ -570,12 +645,12 @@ def create_proof_accel(
     # -- 5. lookup z polynomials ------------------------------------------
     for p in range(num_proofs):
         for lk in lookups_data[p]:
-            num = fo.mont_mul(FR16, fo.add(FR16, lk["a_rows"], beta_b),
-                              fo.add(FR16, lk["s_rows"], gamma_b))
-            den = fo.mont_mul(FR16, fo.add(FR16, lk["a_perm"], beta_b),
-                              fo.add(FR16, lk["s_perm"], gamma_b))
-            num = fo.select((usable_mask_d[:, 0] == 1), num, one_v)
-            den = fo.select((usable_mask_d[:, 0] == 1), den, one_v)
+            num = m_mul(m_add(lk["a_rows"], beta_b),
+                              m_add(lk["s_rows"], gamma_b))
+            den = m_mul(m_add(lk["a_perm"], beta_b),
+                              m_add(lk["s_perm"], gamma_b))
+            num = m_select((usable_mask_d[:, 0] == 1), num, one_v)
+            den = m_select((usable_mask_d[:, 0] == 1), den, one_v)
             tail = [rand_fr() for _ in range(n - usable - 1)]
             z, _ = grand_product(num, den, 1, tail)
             lk["z"] = keep(z)
@@ -610,7 +685,7 @@ def create_proof_accel(
     xn_b = _bcast(mont_scalar(xn), n)
     h_folded = jnp.zeros((n, 16), dtype=jnp.uint32)
     for piece in reversed(h_pieces):
-        h_folded = fo.add(FR16, fo.mont_mul(FR16, h_folded, xn_b), piece)
+        h_folded = m_add(m_mul(h_folded, xn_b), piece)
 
     # -- 8. evaluations ----------------------------------------------------
     def poly_for(ref: tuple):
@@ -693,15 +768,15 @@ def create_proof_accel(
         z = domain.rotate_omega(x, rot)
         q = jnp.zeros((n, 16), dtype=jnp.uint32)
         for ref in reversed(refs):
-            q = fo.add(FR16, fo.mont_mul(FR16, q, v_b), poly_for(ref))
+            q = m_add(m_mul(q, v_b), poly_for(ref))
         qz = ev(q, z)
         # w(omega^i) = (q(omega^i) - q(z)) / (omega^i - z)
         q_evals = _ntt(q, k)
-        den = fo.sub(FR16, omega_pows, _bcast(mont_scalar(z), n))
+        den = m_sub(omega_pows, _bcast(mont_scalar(z), n))
         w_lag = fo.mont_mul(
             FR16,
-            fo.sub(FR16, q_evals, _bcast(mont_scalar(qz), n)),
-            fo.batch_inv_tree(FR16, den))
+            m_sub(q_evals, _bcast(mont_scalar(qz), n)),
+            _batch_inv(den))
         w_coeff = _intt(w_lag, k)
         transcript.write_point(params.commit_coeff_mont(w_coeff))
         log.info("accel prove: opening for rotation %d committed", rot)
@@ -747,9 +822,9 @@ def _compute_h_sharded(
     e0 = np.zeros(n, dtype=np.int64); e0[0] = 1
     el = np.zeros(n, dtype=np.int64); el[usable] = 1
     eb = np.zeros(n, dtype=np.int64); eb[usable + 1 :] = 1
-    l0_c = ntt_dev(fo.to_mont(FR16, jnp.asarray(ints_to_std(e0.tolist()))), k, inverse=True)
-    ll_c = ntt_dev(fo.to_mont(FR16, jnp.asarray(ints_to_std(el.tolist()))), k, inverse=True)
-    lb_c = ntt_dev(fo.to_mont(FR16, jnp.asarray(ints_to_std(eb.tolist()))), k, inverse=True)
+    l0_c = ntt_dev(m_to_mont(jnp.asarray(ints_to_std(e0.tolist()))), k, inverse=True)
+    ll_c = ntt_dev(m_to_mont(jnp.asarray(ints_to_std(el.tolist()))), k, inverse=True)
+    lb_c = ntt_dev(m_to_mont(jnp.asarray(ints_to_std(eb.tolist()))), k, inverse=True)
 
     y_b = _bcast(mont_scalar(y), n)
     theta_b = _bcast(mont_scalar(theta), n)
@@ -774,7 +849,7 @@ def _compute_h_sharded(
             if key in ext_cache:
                 ext_cache.move_to_end(key)
                 return ext_cache[key]
-            val = ntt_dev(fo.mont_mul(FR16, np_to_dev(coeff_arr), scale), k)
+            val = ntt_dev(m_mul(np_to_dev(coeff_arr), scale), k)
             ext_cache[key] = val
             if cache_cap is not None and len(ext_cache) > cache_cap:
                 ext_cache.popitem(last=False)
@@ -786,13 +861,13 @@ def _compute_h_sharded(
         l0_e = ext(l0_c)
         ll_e = ext(ll_c)
         lb_e = ext(lb_c)
-        active = fo.sub(FR16, one_b, fo.add(FR16, ll_e, lb_e))  # 1 - (l_last+l_blind)
+        active = m_sub(one_b, m_add(ll_e, lb_e))  # 1 - (l_last+l_blind)
 
         acc = jnp.zeros((n, 16), dtype=jnp.uint32)
 
         def fold(e):
             nonlocal acc
-            acc = fo.add(FR16, fo.mont_mul(FR16, acc, y_b), e)
+            acc = m_add(m_mul(acc, y_b), e)
 
         for p in range(num_proofs):
             def expr_ext(e: Expression):
@@ -805,10 +880,10 @@ def _compute_h_sharded(
                     instance=lambda q: roll(ext(instance_coeff[p][cs.instance_queries[q][0]]),
                                             cs.instance_queries[q][1]),
                     challenge=lambda i: _bcast(mont_scalar(challenges[i]), n),
-                    neg=lambda a: fo.sub(FR16, jnp.zeros_like(a), a),
-                    add=lambda a, b: fo.add(FR16, a, b),
-                    mul=lambda a, b: fo.mont_mul(FR16, a, b),
-                    scale=lambda a, sc: fo.mont_mul(FR16, a, _bcast(mont_scalar(sc), n)),
+                    neg=lambda a: m_sub(jnp.zeros_like(a), a),
+                    add=lambda a, b: m_add(a, b),
+                    mul=lambda a, b: m_mul(a, b),
+                    scale=lambda a, sc: m_mul(a, _bcast(mont_scalar(sc), n)),
                 )
 
             # gates
@@ -820,13 +895,13 @@ def _compute_h_sharded(
             sets_e = [ext(zc) for zc in perm_z_coeff[p]]
             if sets_e:
                 z0 = sets_e[0]
-                fold(fo.mont_mul(FR16, l0_e, fo.sub(FR16, one_b, z0)))
+                fold(m_mul(l0_e, m_sub(one_b, z0)))
                 zl = sets_e[-1]
-                fold(fo.mont_mul(FR16, ll_e,
-                                 fo.sub(FR16, fo.mont_mul(FR16, zl, zl), zl)))
+                fold(m_mul(ll_e,
+                                 m_sub(m_mul(zl, zl), zl)))
                 for s_idx in range(1, len(sets_e)):
                     prev_rot = roll(sets_e[s_idx - 1], -(bf + 1))
-                    fold(fo.mont_mul(FR16, fo.sub(FR16, sets_e[s_idx], prev_rot), l0_e))
+                    fold(m_mul(m_sub(sets_e[s_idx], prev_rot), l0_e))
                 omega_do = ext(x_poly_c)  # evals of the poly X
                 for chunk_idx0, chunk_start in enumerate(
                         range(0, len(cs.permutation_columns), chunk_len)):
@@ -844,15 +919,15 @@ def _compute_h_sharded(
                         else:
                             vp = ext(instance_coeff[p][cs.instance_queries[qidx][0]])
                         sigma_e = ext(apk.sigmas_coeff[chunk_start + j])
-                        left = fo.mont_mul(FR16, left, fo.add(
-                            FR16, vp, fo.add(FR16, fo.mont_mul(FR16, beta_b, sigma_e), gamma_b)))
+                        left = m_mul(left, fo.add(
+                            FR16, vp, m_add(m_mul(beta_b, sigma_e), gamma_b)))
                         dx = fo.mont_mul(
                             FR16, omega_do,
                             _bcast(mont_scalar(beta * delta_pow % R), n))
-                        right = fo.mont_mul(FR16, right,
-                                            fo.add(FR16, vp, fo.add(FR16, dx, gamma_b)))
+                        right = m_mul(right,
+                                            m_add(vp, m_add(dx, gamma_b)))
                         delta_pow = delta_pow * FR_DELTA % R
-                    fold(fo.mont_mul(FR16, fo.sub(FR16, left, right), active))
+                    fold(m_mul(m_sub(left, right), active))
 
             # lookup expressions
             for lk_idx, lk in enumerate(lookups_data[p]):
@@ -864,28 +939,28 @@ def _compute_h_sharded(
                 a_prev = roll(ac_e, -1)
                 input_e = jnp.zeros((n, 16), dtype=jnp.uint32)
                 for e in arg.input_expressions:
-                    input_e = fo.add(FR16, fo.mont_mul(FR16, input_e, theta_b), expr_ext(e))
+                    input_e = m_add(m_mul(input_e, theta_b), expr_ext(e))
                 table_e = jnp.zeros((n, 16), dtype=jnp.uint32)
                 for e in arg.table_expressions:
-                    table_e = fo.add(FR16, fo.mont_mul(FR16, table_e, theta_b), expr_ext(e))
-                fold(fo.mont_mul(FR16, l0_e, fo.sub(FR16, one_b, zc_e)))
-                fold(fo.mont_mul(FR16, ll_e,
-                                 fo.sub(FR16, fo.mont_mul(FR16, zc_e, zc_e), zc_e)))
-                left = fo.mont_mul(FR16, z_next, fo.mont_mul(
-                    FR16, fo.add(FR16, ac_e, beta_b), fo.add(FR16, sc_e, gamma_b)))
-                right = fo.mont_mul(FR16, zc_e, fo.mont_mul(
-                    FR16, fo.add(FR16, input_e, beta_b), fo.add(FR16, table_e, gamma_b)))
-                fold(fo.mont_mul(FR16, fo.sub(FR16, left, right), active))
-                a_minus_s = fo.sub(FR16, ac_e, sc_e)
-                fold(fo.mont_mul(FR16, l0_e, a_minus_s))
-                fold(fo.mont_mul(FR16, fo.mont_mul(
-                    FR16, a_minus_s, fo.sub(FR16, ac_e, a_prev)), active))
+                    table_e = m_add(m_mul(table_e, theta_b), expr_ext(e))
+                fold(m_mul(l0_e, m_sub(one_b, zc_e)))
+                fold(m_mul(ll_e,
+                                 m_sub(m_mul(zc_e, zc_e), zc_e)))
+                left = m_mul(z_next, fo.mont_mul(
+                    FR16, m_add(ac_e, beta_b), m_add(sc_e, gamma_b)))
+                right = m_mul(zc_e, fo.mont_mul(
+                    FR16, m_add(input_e, beta_b), m_add(table_e, gamma_b)))
+                fold(m_mul(m_sub(left, right), active))
+                a_minus_s = m_sub(ac_e, sc_e)
+                fold(m_mul(l0_e, a_minus_s))
+                fold(m_mul(fo.mont_mul(
+                    FR16, a_minus_s, m_sub(ac_e, a_prev)), active))
 
         # divide by the vanishing constant zeta^n * w_ext^{sn} - 1
         log.info("accel prove: quotient shard %d/%d evaluated", s + 1, ratio)
         vanish = (pow(zeta, n, R) * pow(w_ext, s * n, R) - 1) % R
         inv_vanish = _bcast(mont_scalar(pow(vanish, -1, R)), n)
-        h_evals = fo.mont_mul(FR16, acc, inv_vanish)
+        h_evals = m_mul(acc, inv_vanish)
         shards.append(ntt_dev(h_evals, k, inverse=True))
 
     # recombine shards into coefficient chunks:
@@ -895,7 +970,7 @@ def _compute_h_sharded(
     g_vecs = []
     for s in range(ratio):
         ws_inv = pow(pow(w_ext, s, R), -1, R) if s else 1
-        g_vecs.append(fo.mont_mul(FR16, shards[s], mont_powers(ws_inv, n)))
+        g_vecs.append(m_mul(shards[s], mont_powers(ws_inv, n)))
     ratio_inv = pow(ratio, -1, R)
     zeta_inv = pow(zeta, -1, R)
     zeta_inv_pows = mont_powers(zeta_inv, n)
@@ -904,10 +979,10 @@ def _compute_h_sharded(
         d_u = jnp.zeros((n, 16), dtype=jnp.uint32)
         for s in range(ratio):
             w = pow(pow(phi, s * u, R), -1, R) * ratio_inv % R
-            d_u = fo.add(FR16, d_u, fo.mont_mul(FR16, g_vecs[s], _bcast(mont_scalar(w), n)))
+            d_u = m_add(d_u, m_mul(g_vecs[s], _bcast(mont_scalar(w), n)))
         # c[m+un] = d[m,u] * zeta^{-(m+un)}
-        c_u = fo.mont_mul(FR16, d_u, zeta_inv_pows)
-        c_u = fo.mont_mul(FR16, c_u, _bcast(mont_scalar(pow(zeta_inv, u * n, R)), n))
+        c_u = m_mul(d_u, zeta_inv_pows)
+        c_u = m_mul(c_u, _bcast(mont_scalar(pow(zeta_inv, u * n, R)), n))
         chunks.append(c_u)
     return chunks
 
