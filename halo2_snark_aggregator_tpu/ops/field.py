@@ -70,6 +70,33 @@ def np_to_dev(x):
                              for i in range(0, n, XFER_ROWS)])
 
 
+def rowwise_jit(fn, chunk: int = 1 << 16):
+    """Wrap an elementwise-over-rows field op as a jitted function applied in
+    fixed row chunks. The kernels in this module are written for jit fusion —
+    ONE eager mont_mul at (4M,16) materializes ~16GB of conv intermediates —
+    and at very large shapes even a fused whole-array program OOMs from
+    padded temps; fixed 2^18-row chunks bound transients and give exactly two
+    compiled shapes per op for any problem size."""
+    jfn = jax.jit(fn)
+
+    def run(*args):
+        n = None
+        for a in args:
+            if hasattr(a, "ndim") and a.ndim == 2:
+                n = a.shape[0] if n is None else max(n, a.shape[0])
+        if n is None or n <= chunk:
+            return jfn(*args)
+        outs = []
+        for i in range(0, n, chunk):
+            sl = [a[i : i + chunk]
+                  if (hasattr(a, "ndim") and a.ndim == 2 and a.shape[0] == n)
+                  else a for a in args]
+            outs.append(jfn(*sl))
+        return jnp.concatenate(outs, axis=0)
+
+    return run
+
+
 def ints_to_std(vals) -> np.ndarray:
     """Bulk Python ints -> uint32[n, 16] standard-form limbs via one byte
     buffer (the per-element shift loop of ints_to_limbs is ~10x slower)."""

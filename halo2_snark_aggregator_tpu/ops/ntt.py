@@ -82,41 +82,43 @@ def ntt(values, k: int, inverse: bool = False):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("half",))
-def _stage(x, tw, half: int):
-    """One butterfly stage as its own small program: the 22-stage fused graph
-    at k=22 wedges the axon compiler (same lesson as the staged MSM/SRS)."""
-    n = x.shape[0]
-    length = 2 * half
-    blocks = n // length
-    x = x.reshape(blocks, length, fo.LIMBS)
-    u = x[:, :half]
-    v = fo.mont_mul(FR, x[:, half:], tw[None])
-    return jnp.concatenate([fo.add(FR, u, v), fo.sub(FR, u, v)],
-                           axis=1).reshape(n, fo.LIMBS)
-
-
-@functools.partial(jax.jit, static_argnames=())
-def _scale_n_inv(x, n_inv):
-    return fo.mont_mul(FR, x, jnp.broadcast_to(n_inv, x.shape))
+# chunked butterfly math: flatten each stage to (n/2, 16) pair vectors and
+# run the SAME three row-chunked programs at every stage — per-stage fused
+# programs at k=22 OOM on padded temps (u32[...,16] tiles pad 4-8x on TPU)
+_mul_c = fo.rowwise_jit(lambda a, b: fo.mont_mul(FR, a, b))
+_add_c = fo.rowwise_jit(lambda a, b: fo.add(FR, a, b))
+_sub_c = fo.rowwise_jit(lambda a, b: fo.sub(FR, a, b))
 
 
 def ntt_staged(values, k: int, inverse: bool = False):
-    """Large-k NTT: one jitted program per butterfly stage, and the
-    bit-reversal permutation on HOST when the input is host-resident (a 2^k
-    device gather lowers to scalar loads on TPU). Same result as ntt()."""
+    """Large-k NTT: row-chunked butterfly stages, and the bit-reversal
+    permutation on HOST when the input is host-resident (a 2^k device gather
+    lowers to scalar loads on TPU). Same result as ntt()."""
+    n = 1 << k
     rev, twiddles, n_inv = _plan(k, inverse)
     if isinstance(values, np.ndarray):
         x = fo.np_to_dev(values[rev])
     else:
-        # device input: round-trip via host is usually cheaper than a 4M-
+        # device input: round-trip via host is usually cheaper than a 2^k-
         # element device gather on TPU
         host = fo.dev_to_np(values)
         x = fo.np_to_dev(host[rev])
     for tw in twiddles:
-        x = _stage(x, jnp.asarray(tw), tw.shape[0])
+        half = tw.shape[0]
+        length = 2 * half
+        blocks = n // length
+        xr = x.reshape(blocks, length, fo.LIMBS)
+        u = xr[:, :half].reshape(-1, fo.LIMBS)
+        vv = xr[:, half:].reshape(-1, fo.LIMBS)
+        tw_full = jnp.broadcast_to(
+            jnp.asarray(tw)[None], (blocks, half, fo.LIMBS)
+        ).reshape(-1, fo.LIMBS)
+        v = _mul_c(vv, tw_full)
+        s_lo = _add_c(u, v).reshape(blocks, half, fo.LIMBS)
+        s_hi = _sub_c(u, v).reshape(blocks, half, fo.LIMBS)
+        x = jnp.concatenate([s_lo, s_hi], axis=1).reshape(n, fo.LIMBS)
     if inverse:
-        x = _scale_n_inv(x, jnp.asarray(n_inv))
+        x = _mul_c(x, jnp.broadcast_to(jnp.asarray(n_inv), x.shape))
     return x
 
 
