@@ -189,6 +189,54 @@ _reduce_jit = functools.partial(jax.jit, static_argnames=("c",))(_bucket_reduce)
 _combine_jit = functools.partial(jax.jit, static_argnames=("c",))(_combine_windows)
 
 
+@functools.partial(jax.jit, static_argnames=("trips",))
+def _accum_steps(points, order, starts, counts, acc, t0, trips: int):
+    """`trips` accumulate steps starting at step t0 (a traced scalar, so one
+    compile covers the whole sweep). Out-of-range steps are masked by the
+    per-bucket counts, exactly as in _bucket_accumulate."""
+    px, py, pz = points
+    n = px.limbs.shape[0]
+
+    def body(i, acc):
+        t = t0 + i
+        idx_sorted = jnp.clip(starts + t, 0, n - 1)
+        point_idx = jnp.take_along_axis(order, idx_sorted, axis=1)
+        pt = cv.gather_point((px, py, pz), point_idx)
+        new = cv.add(acc, pt)
+        valid = t < counts
+        return _pin(cv.select_point(valid, new, acc))
+
+    return jax.lax.fori_loop(0, trips, body, acc)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _accum_init(px_ref, windows_buckets):
+    return _varying_identity(px_ref, tuple(windows_buckets.shape))
+
+
+def msm_staged_bounded(points, scalars, c: int = 8, trips: int = 256):
+    """msm_staged with the bucket-accumulate phase driven from the host in
+    bounded slices of `trips` steps per program. At 4M points the max bucket
+    load is ~n/2^c (~16k) — a single while_loop program of that many
+    sequential point-adds runs for minutes and gets the axon worker killed
+    ('kernel fault'); ~256-trip programs stay well under the limit."""
+    order, starts, counts_np = None, None, None
+    order_np, starts_np, counts_np = host_bucket_plan(np.asarray(scalars), c)
+    max_load = int(counts_np.max()) if counts_np.size else 0
+    order = jnp.asarray(order_np)
+    starts = jnp.asarray(starts_np)
+    counts = jnp.asarray(counts_np)
+    windows = order_np.shape[0]
+    acc = _accum_init(points[0], np.zeros((windows, 1 << c)))
+    t = 0
+    while t < max_load:
+        acc = _accum_steps(points, order, starts, counts, acc,
+                           jnp.int32(t), trips)
+        t += trips
+    total = _reduce_jit(acc, c=c)
+    return _combine_jit(total, c=c)
+
+
 def msm_staged(points, scalars, c: int = 8):
     """Host bucket plan + three separately-jitted device phases
     (intermediates stay on device; most robust on the axon backend)."""

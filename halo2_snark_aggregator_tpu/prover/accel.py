@@ -297,7 +297,7 @@ class AccelParams:
         m = coeffs_mont.shape[0]
         scalars = np.zeros((self.n, 16), dtype=np.uint32)
         scalars[:m] = dev_to_np(m_from_mont(jnp.asarray(coeffs_mont)))
-        out = msm_ops.msm_staged(self.g_dev, scalars, c=8)
+        out = msm_ops.msm_staged_bounded(self.g_dev, scalars, c=8)
         host = tuple(frr.RR(np.asarray(c.limbs)[None], c.bound) for c in out)
         return cv.to_affine_ints(host)[0]
 

@@ -168,8 +168,29 @@ def verify_run(specs: list[TargetCircuitSpec], store: FolderStore,
     store.write_verify_instance(instances)
 
     spill = agg_k >= 18  # the k=22 working set exceeds one chip's HBM
-    vk, apk = keygen_accel(agg, agg_k, aparams, spill=spill)
-    store.write_verify_vkey(vk)
+    # checkpoint the (expensive) aggregator keygen so a crashed prove phase
+    # resumes without repaying it (the reference's stage-wise fs.rs story)
+    import numpy as _np
+    apk_path = store._path(f"verify_circuit_apk_k{agg_k}.npz")
+    if spill and apk_path.exists():
+        from ..prover.accel import AccelPk
+        from ..prover.domain import Domain
+        data = _np.load(apk_path)
+        vk = store.read_verify_vkey()
+        apk = AccelPk(vk, Domain(agg_k),
+                      list(data["fl"]), list(data["fc"]),
+                      list(data["sl"]), list(data["sc"]))
+        log.info("verify_run: reusing checkpointed keygen (%s)", apk_path.name)
+    else:
+        vk, apk = keygen_accel(agg, agg_k, aparams, spill=spill)
+        store.write_verify_vkey(vk)
+        if spill:
+            _np.savez(apk_path,
+                      fl=_np.stack(apk.fixed_lagrange),
+                      fc=_np.stack(apk.fixed_coeff),
+                      sl=_np.stack(apk.sigmas_lagrange),
+                      sc=_np.stack(apk.sigmas_coeff))
+            log.info("verify_run: keygen checkpoint written")
     proof = create_proof_accel(apk, aparams, [agg], [instances], ShaWrite(),
                                seed=seed, spill=spill)
     store.write_verify_proof(proof)
