@@ -415,8 +415,14 @@ def keygen_accel(circuit, k: int, params: AccelParams,
 
     log.info("keygen_accel: sigmas done; committing %d fixed + %d sigma cols",
              len(fixed_coeff), len(sigmas_coeff))
-    fixed_commitments = [params.commit_coeff_mont(c) for c in fixed_coeff]
-    permutation_commitments = [params.commit_coeff_mont(s) for s in sigmas_coeff]
+    fixed_commitments = []
+    for ci, c in enumerate(fixed_coeff):
+        fixed_commitments.append(params.commit_coeff_mont(c))
+        log.info("keygen_accel: fixed commit %d/%d", ci + 1, len(fixed_coeff))
+    permutation_commitments = []
+    for ci, sc in enumerate(sigmas_coeff):
+        permutation_commitments.append(params.commit_coeff_mont(sc))
+        log.info("keygen_accel: sigma commit %d/%d", ci + 1, len(sigmas_coeff))
     log.info("keygen_accel: commitments done")
 
     vk = VerifyingKey(
