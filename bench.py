@@ -171,6 +171,10 @@ def bench_outer():
     vs_baseline is against a 600s working target for a k=22 halo2 outer
     proof on the reference's 24-thread CPU setup (no published numbers —
     BASELINE.md)."""
+    import logging
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                        format="%(asctime)s %(levelname)s %(message)s")
     _configure_jax()
     from halo2_snark_aggregator_tpu.sdk import harness
     from halo2_snark_aggregator_tpu.sdk.cli import demo_spec

@@ -115,7 +115,7 @@ class AggregatorCircuit(Circuit):
     # -- circuit ------------------------------------------------------------
     def configure(self, cs: ConstraintSystem) -> AggregatorConfig:
         base = BaseGate.configure(cs)
-        rng = RangeGate.configure(cs, self.range_bits)
+        rng = RangeGate.configure(cs, self.range_bits, base)
         instance = cs.instance_column()
         cs.enable_equality(instance)
         return AggregatorConfig(base, rng, instance)
@@ -173,7 +173,6 @@ class AggregatorCircuit(Circuit):
         # constraint checker skip the untouched (all-default-zero) tail
         self.row_usage = {
             "base": ctx.offset,
-            "range": getattr(ctx, "range_offset", 0),
             "table": 1 << self.range_bits,
         }
         assigner.used_rows_hint = max(self.row_usage.values()) + 2

@@ -168,18 +168,47 @@ class EccChip:
 
     # -- scalar decomposition (native_ecc_chip.rs:41-135) -------------------
     def decompose_scalar(self, ctx, scalar: AssignedCell) -> list[AssignedCell]:
+        """Bit decomposition with recombination (native_ecc_chip.rs:41-135).
+        The bit witnesses are CREATED inside the dense recombination chain
+        (4-5 bits per row, partial sums chained via next_coeff, the scalar
+        itself closing the final row), then each bit cell gets one
+        booleanness row — ~1.25 rows/bit instead of 2.5."""
+        from .base_gate import VAR_COLUMNS
         gate = self.integer.gate
         value = int(scalar) % R
         assert value < (1 << self.scalar_bits), "scalar exceeds configured bits"
-        bits = []
-        for i in range(self.scalar_bits):
-            b = gate.assign(ctx, (value >> i) & 1)
+        bit_vals = [(value >> i) & 1 for i in range(self.scalar_bits)]
+        bits: list[AssignedCell] = []
+        idx = 0
+        acc_cell = None
+        acc_val = 0
+        n = self.scalar_bits
+        while True:
+            lead = 0 if acc_cell is None else 1
+            cap = VAR_COLUMNS - lead
+            row_pairs = [] if acc_cell is None else [(acc_cell, 1)]
+            if n - idx <= cap - 1:
+                # final row: remaining bits + the scalar itself (coeff -1)
+                take = n - idx
+                row_pairs += [(bit_vals[idx + j], pow(2, idx + j, R))
+                              for j in range(take)]
+                row_pairs += [(0, 0)] * (cap - 1 - take)
+                row_pairs.append((scalar, R - 1))
+                cells = gate.one_line(ctx, row_pairs)
+                bits += cells[lead:lead + take]
+                break
+            take = cap
+            row_pairs += [(bit_vals[idx + j], pow(2, idx + j, R))
+                          for j in range(take)]
+            new_acc = (acc_val + sum(
+                bit_vals[idx + j] << (idx + j) for j in range(take))) % R
+            cells = gate.one_line(ctx, row_pairs, mul_next=(0, 0, R - 1))
+            bits += cells[lead:lead + take]
+            acc_cell = AssignedCell(0, ctx.offset, new_acc)
+            acc_val = new_acc
+            idx += take
+        for b in bits:
             gate.assert_bit(ctx, b)
-            bits.append(b)
-        recombined = gate.sum_with_coeff_and_constant(
-            ctx, [(b, pow(2, i, R)) for i, b in enumerate(bits)], 0
-        )
-        gate.assert_equal(ctx, scalar, recombined)
         return bits
 
     # -- windowed simultaneous MSM (ecc_chip.rs:139-244) --------------------

@@ -89,6 +89,12 @@ class IntegerChip:
             ctx, [(c, b) for c, b in zip(limb_cells, self._limb_base)], 0
         )
 
+    def _round_chunk(self, bits: int) -> int:
+        """Round a range width up to a whole number of lookup chunks (skips
+        the tighten row; callers must have bound slack for the rounding)."""
+        t = self.rgate.config.bits
+        return -(-bits // t) * t
+
     def assign_w(self, ctx: Context, v: int) -> AssignedInteger:
         """Witness a value < 2^w_ceil_bits with range-checked limbs."""
         f = self.f
@@ -98,10 +104,31 @@ class IntegerChip:
         for i, lv in enumerate(limb_vals):
             bits = f.limb_bits
             if i == NLIMBS - 1:
+                # the top limb stays TIGHT to w_ceil (soundness of the
+                # value < 2^w_ceil < 2W bound that is_zero's {0, W}
+                # disjunction relies on — the reference's w_ceil-leading
+                # lookup family, five/range_gate.rs)
                 bits = f.w_ceil_bits - f.limb_bits * (NLIMBS - 1)
             cells.append(self.rgate.assign_ranged(ctx, lv, bits))
         return AssignedInteger(cells, self._native_of(ctx, cells), v, 0,
                                f.w_ceil_bits)
+
+    def _assign_d(self, ctx: Context, d: int, d_bits: int):
+        """Witness the d quotient of a d*W+rem decomposition as NLIMBS
+        range-checked limbs + native companion. Returns (cells, native,
+        limb_values, top_bits)."""
+        f = self.f
+        lb = f.limb_bits
+        d_top_bits = max(d_bits - lb * (NLIMBS - 1), 1)
+        d_top = d >> (lb * (NLIMBS - 1))
+        d_limbs_v = [(d >> (lb * i)) & f.limb_mask for i in range(NLIMBS - 1)]
+        d_limbs_v.append(d_top)
+        assert d_top < (1 << d_top_bits), "d exceeds static bound"
+        cells = []
+        for i in range(NLIMBS):
+            bits = lb if i < NLIMBS - 1 else d_top_bits
+            cells.append(self.rgate.assign_ranged(ctx, d_limbs_v[i], bits))
+        return cells, self._native_of(ctx, cells), d_limbs_v, d_top_bits
 
     def assign_constant(self, ctx: Context, v: int) -> AssignedInteger:
         f = self.f
@@ -190,13 +217,18 @@ class IntegerChip:
     def reduce(self, ctx, a: AssignedInteger) -> AssignedInteger:
         """a = d*W + rem with small d; rem freshly range-checked
         (five/integer_chip.rs:483-581). Enforced mod r and mod 2^limb_bits
-        with a signed carry (CRT covers the bounded value)."""
+        with a signed carry (CRT covers the bounded value). Range widths are
+        rounded up to whole lookup chunks; the lcm(2^lb, r) budget assert
+        keeps the rounding sound."""
         f = self.f
+        lb = f.limb_bits
         d = a.value // f.modulus
         rem = a.value % f.modulus
         # static bound: d < a.value / W < 2^(value_bits - w_ceil + 1)
-        d_bits = max(self._value_bits(a) - f.w_ceil_bits + 1, 1)
+        d_bits = self._round_chunk(max(self._value_bits(a) - f.w_ceil_bits + 1, 1))
         assert d < (1 << d_bits)
+        assert max(self._value_bits(a), d_bits + f.w_ceil_bits + 1) < lb + 253, \
+            "reduce CRT budget exceeded"
         d_cell = self.rgate.assign_ranged(ctx, d, d_bits)
         rem_int = self.assign_w(ctx, rem)
 
@@ -210,9 +242,10 @@ class IntegerChip:
         # low limb: a0 - d*W0 - rem0 = c * 2^limb_bits, c signed bounded
         w0 = self._w_limbs[0]
         c = (int(a.limbs[0]) - d * w0 - int(rem_int.limbs[0]))
-        assert c % (1 << f.limb_bits) == 0
-        c >>= f.limb_bits
-        c_bits = f.limb_bits + a.overflow + 2
+        assert c % (1 << lb) == 0
+        c >>= lb
+        c_bits = self._round_chunk(lb + a.overflow + 2)
+        assert c_bits + lb + 1 < 253, "reduce carry width unsound"
         offset = 1 << (c_bits - 1)
         c_cell = self.rgate.assign_ranged(ctx, c + offset, c_bits)
         # a0 - d*w0 - rem0 - (c_cell - offset)*2^limb = 0
@@ -220,14 +253,67 @@ class IntegerChip:
             ctx,
             [pair(a.limbs[0], 1), pair(d_cell, (-w0) % R),
              pair(rem_int.limbs[0], R - 1),
-             pair(c_cell, (-(1 << f.limb_bits)) % R)],
-            constant=(offset << f.limb_bits) % R,
+             pair(c_cell, (-(1 << lb)) % R)],
+            constant=(offset << lb) % R,
         )
         return rem_int
 
     # -- multiplication ----------------------------------------------------
+    def _fused_slices(self, ctx, a: AssignedInteger, b: AssignedInteger,
+                      d_cells, d_limbs_v, sub_cells, pad_limbs, c_bits):
+        """The two 2^(2*lb)-slice checks of a*b (+pad) - d*W - sub = 0, with
+        the limb products folded INTO the chained slice rows (no separate
+        conv cells — the density trick the reference gets from
+        mul_add_with_next_line chains, five/integer_chip.rs:104-252).
+
+        For slice s in {0,1}:
+          L_s = sum_{k in {2s,2s+1}} (conv_k + pad_k - sum_i d_i*W_{k-i}
+                                      - sub_k) * 2^(lb*(k-2s)) + carry_{s-1}
+          L_s = carry_s * 2^(2lb), carries signed (offset-encoded)."""
+        f = self.f
+        lb = f.limb_bits
+        assert c_bits + 2 * lb + 2 < R.bit_length(), "carry width unsound"
+        offset = 1 << (c_bits - 1)
+        carry_val = 0
+        carry_cell = None
+        for s in range(2):
+            products = []
+            d_coeffs = [0] * NLIMBS
+            linears = []
+            const = 0
+            int_val = carry_val
+            for t_i, k in enumerate((2 * s, 2 * s + 1)):
+                shift = pow(2, lb * t_i, R)
+                shift_int = 1 << (lb * t_i)
+                for i in range(NLIMBS):
+                    j = k - i
+                    if 0 <= j < NLIMBS:
+                        products.append((a.limbs[i], b.limbs[j], shift))
+                        int_val += int(a.limbs[i]) * int(b.limbs[j]) * shift_int
+                        d_coeffs[i] = (d_coeffs[i] - self._w_limbs[j] * shift) % R
+                        int_val -= d_limbs_v[i] * self._w_limbs[j] * shift_int
+                if pad_limbs is not None:
+                    const = (const + pad_limbs[k] * shift) % R
+                    int_val += pad_limbs[k] * shift_int
+                linears.append((sub_cells[k], (-shift) % R))
+                int_val -= int(sub_cells[k]) * shift_int
+            for i in range(NLIMBS):
+                if d_coeffs[i]:
+                    linears.append((d_cells[i], d_coeffs[i]))
+            if carry_cell is not None:
+                linears.append((carry_cell, 1))
+                const = (const - offset) % R  # remove previous offset
+            assert int_val % (1 << (2 * lb)) == 0, "slice not divisible"
+            c_new = int_val >> (2 * lb)
+            c_cell = self.rgate.assign_ranged(ctx, c_new + offset, c_bits)
+            linears.append((c_cell, (-(1 << (2 * lb))) % R))
+            total_const = (const + (offset << (2 * lb))) % R
+            self.gate.assert_products_sum_zero(ctx, products, linears, total_const)
+            carry_val = c_new
+            carry_cell = c_cell
+
     def mul(self, ctx, a: AssignedInteger, b: AssignedInteger) -> AssignedInteger:
-        """a*b = d*W + rem, enforced mod r (native row) and mod 2^(2*2*limb)
+        """a*b = d*W + rem, enforced mod r (native row) and mod 2^(4*limb)
         via limb-pair slices with signed range-checked carries
         (five/integer_chip.rs:104-287)."""
         f = self.f
@@ -239,82 +325,21 @@ class IntegerChip:
 
         # witnesses; static d bound: d < a.value*b.value/W
         d_bits = self._value_bits(a) + self._value_bits(b) - f.w_ceil_bits + 1
-        d_top_bits = max(d_bits - lb * (NLIMBS - 1), 1)
-        d_top = d >> (lb * (NLIMBS - 1))  # top limb may exceed limb_bits
-        d_limbs_v = [(d >> (lb * i)) & f.limb_mask for i in range(NLIMBS - 1)] + [d_top]
-        assert d_top < (1 << d_top_bits), "d exceeds static bound"
         rem_int = self.assign_w(ctx, rem)
-        d_cells = []
-        for i in range(NLIMBS):
-            if i < NLIMBS - 1:
-                d_cells.append(self.rgate.assign_ranged(ctx, d_limbs_v[i], lb))
-            else:
-                d_cells.append(self.rgate.assign_ranged(ctx, d_top, d_top_bits))
-        d_native = self._native_of(ctx, d_cells)
+        d_cells, d_native, d_limbs_v, _ = self._assign_d(ctx, d, d_bits)
 
         # native row: a.native * b.native - d.native*W - rem.native = 0 (mod r)
-        ab_native = self.gate.mul(ctx, a.native, b.native)
         self.gate.one_line(
             ctx,
-            [pair(ab_native, 1), pair(d_native, (-self._w_native) % R),
+            [pair(a.native, 0), pair(b.native, 0),
+             pair(d_native, (-self._w_native) % R),
              pair(rem_int.native, R - 1)],
+            mul_next=(1, 0, 0),
         )
 
-        # conv columns of a*b (cells) for k = 0..2*NLIMBS-2, but only slices
-        # covering 2^(4*lb) are checked (CRT with the native row)
-        nslice_limbs = 4  # check mod 2^(4*lb): limb columns k = 0..3
-        conv_cells = []
-        for k in range(nslice_limbs):
-            acc = None
-            for i in range(NLIMBS):
-                j = k - i
-                if 0 <= j < NLIMBS:
-                    if acc is None:
-                        acc = self.gate.mul(ctx, a.limbs[i], b.limbs[j])
-                    else:
-                        acc = self.gate.mul_add(ctx, a.limbs[i], b.limbs[j], acc)
-            conv_cells.append(acc)
-
-        # slice checks: for s in {0, 1}:
-        #   L_s = sum_{k in {2s, 2s+1}} (conv_k - sum_i d_i*W_{k-i} - rem_k) 2^(lb*(k-2s))
-        #   L_0 = c_0 * 2^(2lb);  L_1 + c_0 = c_1 * 2^(2lb)
-        carry_val = 0
-        carry_cell = None
-        # |carry| <= |L_s| / 2^(2lb) ~ conv_max / 2^lb; conv_max ~ 4*2^(2lb+ova+ovb)
-        # signed width must keep carry*2^(2lb) + offsets well below r
-        c_bits = lb + a.overflow + b.overflow + 8
-        assert c_bits + 2 * lb + 2 < R.bit_length(), "carry width unsound"
-        for s in range(2):
-            terms = []
-            const = 0
-            int_val = carry_val
-            for t_i, k in enumerate((2 * s, 2 * s + 1)):
-                shift = pow(2, lb * t_i, R)
-                shift_int = 1 << (lb * t_i)
-                terms.append((conv_cells[k], shift))
-                int_val += self._conv_int(a, b, k) * shift_int
-                for i in range(NLIMBS):
-                    j = k - i
-                    if 0 <= j < NLIMBS:
-                        terms.append((d_cells[i], (-(self._w_limbs[j])) % R * shift % R))
-                        int_val -= d_limbs_v[i] * self._w_limbs[j] * shift_int
-                terms.append((rem_int.limbs[k], (-shift) % R))
-                int_val -= int(rem_int.limbs[k]) * shift_int
-            if carry_cell is not None:
-                terms.append((carry_cell, 1))
-                const = -((1 << (c_bits - 1))) % R  # remove previous offset
-            assert int_val % (1 << (2 * lb)) == 0, "slice not divisible"
-            c_new = int_val >> (2 * lb)
-            offset = 1 << (c_bits - 1)
-            c_cell = self.rgate.assign_ranged(ctx, c_new + offset, c_bits)
-            # sum(terms) + const + offset_prev_removed - (c_cell - offset)*2^(2lb) = 0
-            terms.append((c_cell, (-(1 << (2 * lb))) % R))
-            total_const = (const + (offset << (2 * lb))) % R
-            lhs = self.gate.sum_with_coeff_and_constant(ctx, terms, total_const)
-            self.gate.assert_constant(ctx, lhs, 0)
-            carry_val = c_new
-            carry_cell = c_cell
-
+        c_bits = self._round_chunk(lb + a.overflow + b.overflow + 8)
+        self._fused_slices(ctx, a, b, d_cells, d_limbs_v, rem_int.limbs,
+                           None, c_bits)
         return rem_int
 
     def _conv_int(self, a, b, k) -> int:
@@ -347,100 +372,53 @@ class IntegerChip:
         d_bits = max(
             self._value_bits(a) + self._value_bits(b), pad_val.bit_length()
         ) - f.w_ceil_bits + 2
-        d_top_bits = max(d_bits - lb * (NLIMBS - 1), 1)
-        d_top = d >> (lb * (NLIMBS - 1))
-        d_limbs_v = [(d >> (lb * i)) & f.limb_mask for i in range(NLIMBS - 1)] + [d_top]
-        assert d_top < (1 << d_top_bits), "d exceeds static bound"
-        d_cells = []
-        for i in range(NLIMBS):
-            if i < NLIMBS - 1:
-                d_cells.append(self.rgate.assign_ranged(ctx, d_limbs_v[i], lb))
-            else:
-                d_cells.append(self.rgate.assign_ranged(ctx, d_top, d_top_bits))
-        d_native = self._native_of(ctx, d_cells)
+        d_cells, d_native, d_limbs_v, d_top_bits = self._assign_d(ctx, d, d_bits)
 
         # native row: a.native*b.native + pad - c.native - d.native*W = 0 (mod r)
-        ab_native = self.gate.mul(ctx, a.native, b.native)
         self.gate.one_line(
             ctx,
-            [pair(ab_native, 1), pair(d_native, (-self._w_native) % R),
+            [pair(a.native, 0), pair(b.native, 0),
+             pair(d_native, (-self._w_native) % R),
              pair(c.native, R - 1)],
             constant=pad_val % R,
+            mul_next=(1, 0, 0),
         )
 
-        # conv columns of a*b for the checked slices
-        nslice_limbs = 4
-        conv_cells = []
-        for k in range(nslice_limbs):
-            acc = None
-            for i in range(NLIMBS):
-                j = k - i
-                if 0 <= j < NLIMBS:
-                    if acc is None:
-                        acc = self.gate.mul(ctx, a.limbs[i], b.limbs[j])
-                    else:
-                        acc = self.gate.mul_add(ctx, a.limbs[i], b.limbs[j], acc)
-            conv_cells.append(acc)
-
-        # slice checks with signed carries (same scheme as mul, with the
-        # +pad_k constant and -c_k cell terms replacing -rem_k)
-        carry_val = 0
-        carry_cell = None
-        c_bits = lb + a.overflow + b.overflow + max(c.overflow, d_top_bits - lb, 0) + 8
-        assert c_bits + 2 * lb + 2 < R.bit_length(), "carry width unsound"
-        for s in range(2):
-            terms = []
-            const = 0
-            int_val = carry_val
-            for t_i, k in enumerate((2 * s, 2 * s + 1)):
-                shift = pow(2, lb * t_i, R)
-                shift_int = 1 << (lb * t_i)
-                terms.append((conv_cells[k], shift))
-                int_val += self._conv_int(a, b, k) * shift_int
-                const = (const + pad_limbs[k] * shift) % R
-                int_val += pad_limbs[k] * shift_int
-                for i in range(NLIMBS):
-                    j = k - i
-                    if 0 <= j < NLIMBS:
-                        terms.append((d_cells[i], (-(self._w_limbs[j])) % R * shift % R))
-                        int_val -= d_limbs_v[i] * self._w_limbs[j] * shift_int
-                terms.append((c.limbs[k], (-shift) % R))
-                int_val -= int(c.limbs[k]) * shift_int
-            if carry_cell is not None:
-                terms.append((carry_cell, 1))
-                const = (const - (1 << (c_bits - 1))) % R  # remove previous offset
-            assert int_val % (1 << (2 * lb)) == 0, "slice not divisible"
-            c_new = int_val >> (2 * lb)
-            offset = 1 << (c_bits - 1)
-            c_cell = self.rgate.assign_ranged(ctx, c_new + offset, c_bits)
-            terms.append((c_cell, (-(1 << (2 * lb))) % R))
-            total_const = (const + (offset << (2 * lb))) % R
-            lhs = self.gate.sum_with_coeff_and_constant(ctx, terms, total_const)
-            self.gate.assert_constant(ctx, lhs, 0)
-            carry_val = c_new
-            carry_cell = c_cell
+        c_bits = self._round_chunk(
+            lb + a.overflow + b.overflow + max(c.overflow, d_top_bits - lb, 0) + 8)
+        self._fused_slices(ctx, a, b, d_cells, d_limbs_v, c.limbs,
+                           pad_limbs, c_bits)
 
     def square(self, ctx, a):
         return self.mul(ctx, a, a)
 
     # -- comparisons / conversions -----------------------------------------
     def is_zero(self, ctx, a: AssignedInteger) -> AssignedCell:
-        """a == 0 (mod W): reduce, then limbs all zero OR equal to W's limbs
+        """a == 0 (mod W): reduce, then value in {0, W} — checked on two
+        packed limb halves lo = l0 + l1*2^lb, hi = l2 + l3*2^lb (exact over
+        the integers since reduced limbs < 2^lb and 2*lb << |r|), the dense
+        form of the reference's per-limb disjunction
         (five/integer_chip.rs:796-806)."""
         red = self.reduce(ctx, a) if a.overflow else a
         gate = self.gate
-        zero_bits = [gate.is_zero(ctx, c) for c in red.limbs]
-        all_zero = zero_bits[0]
-        for zb in zero_bits[1:]:
-            all_zero = gate.mul(ctx, all_zero, zb)
-        w_bits = []
-        for c, wl in zip(red.limbs, self._w_limbs):
-            diff = gate.sum_with_coeff_and_constant(ctx, [(c, 1)], (-wl) % R)
-            w_bits.append(gate.is_zero(ctx, diff))
-        all_w = w_bits[0]
-        for wb in w_bits[1:]:
-            all_w = gate.mul(ctx, all_w, wb)
-        # or: z = all_zero + all_w - all_zero*all_w
+        f = self.f
+        lb = f.limb_bits
+        h = NLIMBS // 2
+        # lo/hi each pack two limbs: < 2^(2*lb), exact iff 2*lb + 2 < |r|
+        assert NLIMBS == 4 and 2 * lb + 2 < R.bit_length()
+        shift = pow(2, lb, R)
+        lo = gate.sum_with_coeff_and_constant(
+            ctx, [(red.limbs[0], 1), (red.limbs[1], shift)], 0)
+        hi = gate.sum_with_coeff_and_constant(
+            ctx, [(red.limbs[2], 1), (red.limbs[3], shift)], 0)
+        w_lo = (self._w_limbs[0] + (self._w_limbs[1] << lb)) % R
+        w_hi = (self._w_limbs[2] + (self._w_limbs[3] << lb)) % R
+        lo_w = gate.sum_with_coeff_and_constant(ctx, [(lo, 1)], (-w_lo) % R)
+        hi_w = gate.sum_with_coeff_and_constant(ctx, [(hi, 1)], (-w_hi) % R)
+        all_zero = gate.mul(ctx, gate.is_zero(ctx, lo), gate.is_zero(ctx, hi))
+        all_w = gate.mul(ctx, gate.is_zero(ctx, lo_w), gate.is_zero(ctx, hi_w))
+        # or: z = all_zero + all_w - all_zero*all_w (the cases are exclusive
+        # for W > 0 but the complete form costs the same row)
         prod = gate.mul(ctx, all_zero, all_w)
         z = gate.sum_with_coeff_and_constant(
             ctx, [(all_zero, 1), (all_w, 1), (prod, R - 1)], 0

@@ -66,7 +66,7 @@ class EccOpsCircuit(Circuit):
 
     def configure(self, cs):
         base = BaseGate.configure(cs)
-        rng_cfg = RangeGate.configure(cs, RANGE_BITS)
+        rng_cfg = RangeGate.configure(cs, RANGE_BITS, base)
         return (base, rng_cfg)
 
     def synthesize(self, config, assigner):

@@ -26,7 +26,7 @@ class IntegerOpsCircuit(Circuit):
 
     def configure(self, cs):
         base = BaseGate.configure(cs)
-        rng_cfg = RangeGate.configure(cs, RANGE_BITS)
+        rng_cfg = RangeGate.configure(cs, RANGE_BITS, base)
         return (base, rng_cfg)
 
     def synthesize(self, config, assigner):

@@ -20,7 +20,7 @@ class RangeCircuit(Circuit):
 
     def configure(self, cs):
         base = BaseGate.configure(cs)
-        rng = RangeGate.configure(cs, BITS)
+        rng = RangeGate.configure(cs, BITS, base)
         return (base, rng)
 
     def synthesize(self, config, assigner):
