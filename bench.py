@@ -166,7 +166,7 @@ def bench_outer():
     """Outer aggregation proof wall-clock (the reference's zkevm-bench
     analog: MultiCircuitsCreateProof at aggregator k — TPU-accelerated
     prover, SHA256 transcript, followed by a native verify). Opt-in via
-    BENCH_OUTER=1; OUTER_K selects the aggregator size (default 22).
+    BENCH_OUTER=1; OUTER_K selects the aggregator size (default 20).
 
     vs_baseline is against a 600s working target for a k=22 halo2 outer
     proof on the reference's 24-thread CPU setup (no published numbers —
@@ -180,12 +180,13 @@ def bench_outer():
     from halo2_snark_aggregator_tpu.sdk.cli import demo_spec
     from halo2_snark_aggregator_tpu.utils.store import FolderStore
 
-    agg_k = int(os.environ.get("OUTER_K", "22"))
+    agg_k = int(os.environ.get("OUTER_K", "20"))
     store = FolderStore(os.environ.get("OUTER_FOLDER", "/tmp/bench_outer"))
     spec = demo_spec()
-    # our in-circuit verifier currently costs ~2.3M rows per inner proof, so
-    # k=22 fits ONE proof (the reference fits 2 — row-count optimization is
-    # future work; use OUTER_K=23 OUTER_NPROOFS=2 for the 2-proof shape)
+    # the dense gadget layout costs ~930k rows per inner proof: one proof
+    # fits k=20, two fit k=21 (the reference needs k=22 for two,
+    # simple-example.rs:361-363); use OUTER_K=21 OUTER_NPROOFS=2 for the
+    # 2-proof shape
     spec.n_proofs = int(os.environ.get("OUTER_NPROOFS", "1"))
     if not store.exists(f"sample_circuit_{spec.name}.params"):
         harness.sample_setup(spec, store)
@@ -202,10 +203,50 @@ def bench_outer():
     }
 
 
+def bench_recurse():
+    """Two-layer recursion (the reference's 'Multi-layer aggregator' future
+    work): target proofs -> layer-1 aggregation proof (Poseidon transcript,
+    TPU prover) -> layer-2 aggregation proof of the layer-1 proof (SHA
+    transcript) -> native verify. Opt-in via BENCH_RECURSE=1."""
+    import logging
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    _configure_jax()
+    from halo2_snark_aggregator_tpu.sdk import harness
+    from halo2_snark_aggregator_tpu.sdk.cli import demo_spec
+    from halo2_snark_aggregator_tpu.utils.store import FolderStore
+
+    l1_k = int(os.environ.get("RECURSE_L1_K", "20"))
+    l2_k = int(os.environ.get("RECURSE_L2_K", "20"))
+    root = os.environ.get("RECURSE_FOLDER", "/tmp/bench_recurse")
+    l1 = FolderStore(os.path.join(root, "l1"))
+    l2 = FolderStore(os.path.join(root, "l2"))
+    spec = demo_spec()
+    spec.n_proofs = 1
+    if not l1.exists(f"sample_circuit_{spec.name}.params"):
+        harness.sample_setup(spec, l1)
+        harness.sample_run(spec, l1)
+    t0 = time.time()
+    harness.verify_run([spec], l1, agg_k=l1_k, transcript="poseidon")
+    harness.verify_check_l1_poseidon(l1, agg_k=l1_k)
+    proof2, _ = harness.verify2_run(l1, l2, l1_k, l2_k)
+    harness.verify2_check(l2, l2_k)
+    dt = time.time() - t0
+    return {
+        "metric": "two_layer_recursion_seconds",
+        "value": round(dt, 1),
+        "unit": f"s (l1 k={l1_k} -> l2 k={l2_k}, {len(proof2)}B final proof, 1 chip)",
+        "vs_baseline": round(1200.0 / dt, 3),
+    }
+
+
 if __name__ == "__main__":
     try:
         if os.environ.get("BENCH_MSM"):
             result = bench_msm()
+        elif os.environ.get("BENCH_RECURSE"):
+            result = bench_recurse()
         elif os.environ.get("BENCH_BATCHED"):
             result = bench_batched()
         elif os.environ.get("BENCH_OUTER"):

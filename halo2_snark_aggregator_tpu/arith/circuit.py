@@ -127,4 +127,5 @@ class CircuitEccChip(EccChip):
         absorption (encode_chip.rs:15-33): the native companions of the
         REDUCED coordinates."""
         q = self.normalize(ctx, p)
-        return q.x.native, q.y.native
+        integer = self.gadget.integer
+        return integer.nat(ctx, q.x), integer.nat(ctx, q.y)

@@ -95,6 +95,15 @@ class IntegerChip:
         t = self.rgate.config.bits
         return -(-bits // t) * t
 
+    def nat(self, ctx, a: AssignedInteger):
+        """Materialize the lazy native companion (value mod r) from the
+        limbs — the reference's on-demand native (five/integer_chip.rs:
+        595-621). Linear ops leave native=None; only mul/reduce/equality
+        consumers pay the one recombination row."""
+        if a.native is None:
+            a.native = self._native_of(ctx, a.limbs)
+        return a.native
+
     def assign_w(self, ctx: Context, v: int) -> AssignedInteger:
         """Witness a value < 2^w_ceil_bits with range-checked limbs."""
         f = self.f
@@ -140,8 +149,7 @@ class IntegerChip:
     # -- linear ops --------------------------------------------------------
     def add(self, ctx, a: AssignedInteger, b: AssignedInteger) -> AssignedInteger:
         limbs = [self.gate.add(ctx, x, y) for x, y in zip(a.limbs, b.limbs)]
-        native = self.gate.add(ctx, a.native, b.native)
-        out = AssignedInteger(limbs, native, a.value + b.value,
+        out = AssignedInteger(limbs, None, a.value + b.value,
                               max(a.overflow, b.overflow) + 1,
                               max(self._value_bits(a), self._value_bits(b)) + 1)
         return self._maybe_reduce(ctx, out)
@@ -180,14 +188,11 @@ class IntegerChip:
         for x, y, pl in zip(a.limbs, b.limbs, pad_limbs):
             s = self.gate.sum_with_coeff_and_constant(ctx, [(x, 1), (y, R - 1)], pl)
             limbs.append(s)
-        native = self.gate.sum_with_coeff_and_constant(
-            ctx, [(a.native, 1), (b.native, R - 1)], pad_val % R
-        )
         value = a.value - b.value + pad_val
         assert value >= 0
         # result limb < 2^(lb + a.ov) + pad_top; pad limbs ~ 2^(lb + b.ov + 3)
         ov_bits = max(a.overflow, b.overflow + 3) + 1
-        out = AssignedInteger(limbs, native, value, ov_bits,
+        out = AssignedInteger(limbs, None, value, ov_bits,
                               max(self._value_bits(a), pad_val.bit_length()) + 1)
         return self._maybe_reduce(ctx, out)
 
@@ -229,13 +234,14 @@ class IntegerChip:
         assert d < (1 << d_bits)
         assert max(self._value_bits(a), d_bits + f.w_ceil_bits + 1) < lb + 253, \
             "reduce CRT budget exceeded"
+        a_native = self.nat(ctx, a)
         d_cell = self.rgate.assign_ranged(ctx, d, d_bits)
         rem_int = self.assign_w(ctx, rem)
 
         # native: a.native - d*W - rem.native = 0 (mod r)
         self.gate.one_line(
             ctx,
-            [pair(a.native, 1), pair(d_cell, (-self._w_native) % R),
+            [pair(a_native, 1), pair(d_cell, (-self._w_native) % R),
              pair(rem_int.native, R - 1)],
         )
 
@@ -325,13 +331,14 @@ class IntegerChip:
 
         # witnesses; static d bound: d < a.value*b.value/W
         d_bits = self._value_bits(a) + self._value_bits(b) - f.w_ceil_bits + 1
+        a_nat, b_nat = self.nat(ctx, a), self.nat(ctx, b)
         rem_int = self.assign_w(ctx, rem)
         d_cells, d_native, d_limbs_v, _ = self._assign_d(ctx, d, d_bits)
 
         # native row: a.native * b.native - d.native*W - rem.native = 0 (mod r)
         self.gate.one_line(
             ctx,
-            [pair(a.native, 0), pair(b.native, 0),
+            [pair(a_nat, 0), pair(b_nat, 0),
              pair(d_native, (-self._w_native) % R),
              pair(rem_int.native, R - 1)],
             mul_next=(1, 0, 0),
@@ -372,14 +379,16 @@ class IntegerChip:
         d_bits = max(
             self._value_bits(a) + self._value_bits(b), pad_val.bit_length()
         ) - f.w_ceil_bits + 2
+        a_nat, b_nat = self.nat(ctx, a), self.nat(ctx, b)
+        c_nat = self.nat(ctx, c)
         d_cells, d_native, d_limbs_v, d_top_bits = self._assign_d(ctx, d, d_bits)
 
         # native row: a.native*b.native + pad - c.native - d.native*W = 0 (mod r)
         self.gate.one_line(
             ctx,
-            [pair(a.native, 0), pair(b.native, 0),
+            [pair(a_nat, 0), pair(b_nat, 0),
              pair(d_native, (-self._w_native) % R),
-             pair(c.native, R - 1)],
+             pair(c_nat, R - 1)],
             constant=pad_val % R,
             mul_next=(1, 0, 0),
         )
@@ -459,9 +468,10 @@ class IntegerChip:
         d_cell = self.rgate.assign_ranged(ctx, d, d_bits)
 
         # native row: a.native + pad - b.native - d*W = 0 (mod r)
+        a_nat, b_nat = self.nat(ctx, a), self.nat(ctx, b)
         self.gate.one_line(
             ctx,
-            [pair(a.native, 1), pair(b.native, R - 1),
+            [pair(a_nat, 1), pair(b_nat, R - 1),
              pair(d_cell, (-self._w_native) % R)],
             constant=pad_val % R,
         )
@@ -508,7 +518,6 @@ class IntegerChip:
     def bisec(self, ctx, cond, a: AssignedInteger, b: AssignedInteger) -> AssignedInteger:
         gate = self.gate
         limbs = [gate.bisec(ctx, cond, x, y) for x, y in zip(a.limbs, b.limbs)]
-        native = gate.bisec(ctx, cond, a.native, b.native)
         value = a.value if int(cond) else b.value
-        return AssignedInteger(limbs, native, value, max(a.overflow, b.overflow),
+        return AssignedInteger(limbs, None, value, max(a.overflow, b.overflow),
                                max(self._value_bits(a), self._value_bits(b)))

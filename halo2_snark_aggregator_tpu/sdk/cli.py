@@ -10,6 +10,9 @@ Commands (sdk/src/lib.rs:30-41, 83-177):
   verify_check     TPU aggregation verify -> final pair; natively verifies the
                    stored outer proof when present
   verify_solidity  EVM verifier codegen
+  verify2_run      second recursion layer: aggregate the (Poseidon) layer-1
+                   outer proof into a layer-2 proof under <folder>/l2
+  verify2_check    natively verify the layer-2 outer proof
 
 The built-in demo target is the SimpleMulCircuit (2 proofs, K=6), the analog
 of sdk/examples/simple-example.rs.
@@ -61,13 +64,18 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="halo2-snark-aggregator-tpu")
     parser.add_argument("-c", "--command", required=True,
                         choices=["sample_setup", "sample_run", "verify_setup",
-                                 "verify_run", "verify_check", "verify_solidity"])
+                                 "verify_run", "verify_check", "verify_solidity",
+                                 "verify2_run", "verify2_check"])
     parser.add_argument("-f", "--folder", required=True)
     parser.add_argument("--cpu", action="store_true",
                         help="run verify_check on the exact host path")
     parser.add_argument("--agg-k", type=int, default=22,
                         help="aggregation-circuit size (reference k=22, "
                              "simple-example.rs:361-363)")
+    parser.add_argument("--transcript", choices=["sha", "poseidon"],
+                        default="sha",
+                        help="outer-proof transcript flavor (poseidon feeds "
+                             "a second recursion layer)")
     parser.add_argument("--demo", choices=["simple", "multi"], default="simple",
                         help="target-circuit set: simple-example.rs or "
                              "multi-circuit.rs analog")
@@ -88,7 +96,8 @@ def main(argv=None):
         harness.verify_setup(specs, store, agg_k=args.agg_k)
         print(f"aggregator vkey at k={args.agg_k} stored")
     elif args.command == "verify_run":
-        proof, instances = harness.verify_run(specs, store, agg_k=args.agg_k)
+        proof, instances = harness.verify_run(specs, store, agg_k=args.agg_k,
+                                              transcript=args.transcript)
         print(f"outer proof written ({len(proof)} bytes, "
               f"{len(instances[0])} public inputs)")
     elif args.command == "verify_check":
@@ -97,6 +106,24 @@ def main(argv=None):
         if store.exists("verify_circuit_proof.data"):
             harness.verify_check_outer(store, agg_k=args.agg_k)
             print("outer proof natively verified (SHA256 transcript)")
+    elif args.command == "verify2_run":
+        # second recursion layer: re-prove the folder's Poseidon-transcript
+        # layer-1 outer proof inside another aggregation circuit (the
+        # reference's "Multi-layer aggregator" future work); layer-2
+        # artifacts land under <folder>/l2
+        import os as _os
+
+        l2 = FolderStore(_os.path.join(args.folder, "l2"))
+        proof, instances = harness.verify2_run(
+            store, l2, l1_k=args.agg_k, l2_k=args.agg_k)
+        print(f"layer-2 outer proof written ({len(proof)} bytes, "
+              f"{len(instances[0])} public inputs)")
+    elif args.command == "verify2_check":
+        import os as _os
+
+        l2 = FolderStore(_os.path.join(args.folder, "l2"))
+        harness.verify2_check(l2, l2_k=args.agg_k)
+        print("layer-2 outer proof natively verified")
     elif args.command == "verify_solidity":
         # generate an EVM verifier for a stored SHA-transcript proof; the demo
         # re-proves proof 0 with the SHA flavor (the outer aggregation proof

@@ -148,18 +148,26 @@ def verify_setup(specs: list[TargetCircuitSpec], store: FolderStore,
 
 
 def verify_run(specs: list[TargetCircuitSpec], store: FolderStore,
-               agg_k: int = 22, seed: int = 0):
+               agg_k: int = 22, seed: int = 0, transcript: str = "sha"):
     """Create the outer aggregation proof (MultiCircuitsCreateProof::call):
     mock-run final pair -> 136-bit instance packing -> aggregator keygen ->
     TPU-accelerated proof with the SHA256 transcript (so an EVM verifier can
-    recompute the challenges — verify_circuit.rs:984-995)."""
+    recompute the challenges — verify_circuit.rs:984-995). Pass
+    transcript="poseidon" when this proof feeds a SECOND recursion layer
+    (the in-circuit transcript reader is Poseidon)."""
     from ..circuits.aggregator import AggregatorCircuit
+
+    agg = AggregatorCircuit(_load_targets(specs, store))
+    return _prove_aggregator(agg, store, agg_k, seed, transcript)
+
+
+def _prove_aggregator(agg, store: FolderStore, agg_k: int, seed: int,
+                      transcript: str):
     from ..prover.accel import create_proof_accel, keygen_accel
     from ..prover.srs import setup_cached_accel
     from ..transcript.host import ShaWrite
 
     aparams = setup_cached_accel(agg_k)
-    agg = AggregatorCircuit(_load_targets(specs, store))
 
     w_x, w_g, plain = agg.calc_final_pair()
     from ..protocol.instances import final_pair_to_instances
@@ -191,11 +199,71 @@ def verify_run(specs: list[TargetCircuitSpec], store: FolderStore,
                       sl=_np.stack(apk.sigmas_lagrange),
                       sc=_np.stack(apk.sigmas_coeff))
             log.info("verify_run: keygen checkpoint written")
-    proof = create_proof_accel(apk, aparams, [agg], [instances], ShaWrite(),
+    writer = PoseidonWrite() if transcript == "poseidon" else ShaWrite()
+    proof = create_proof_accel(apk, aparams, [agg], [instances], writer,
                                seed=seed, spill=spill)
     store.write_verify_proof(proof)
-    log.info("verify_run: outer proof %d bytes at k=%d", len(proof), agg_k)
+    log.info("verify_run: outer proof %d bytes at k=%d (%s transcript)",
+             len(proof), agg_k, transcript)
     return proof, instances
+
+
+# ---------------------------------------------------------------------------
+# Second recursion layer (the reference's "Multi-layer aggregator" future
+# work, README.md "Furture Work"): the layer-1 aggregation proof (Poseidon
+# transcript) becomes the TARGET of another aggregation circuit, compressing
+# N layer-1 proofs (each compressing N target proofs) into one.
+# ---------------------------------------------------------------------------
+
+def verify_check_l1_poseidon(store: FolderStore, agg_k: int):
+    """Value-context verification of a Poseidon-transcript layer-1 outer
+    proof — the protocol-level gate for recursion (same engine that the
+    layer-2 circuit runs in-circuit)."""
+    from ..prover.srs import setup_cached_accel
+
+    vk = store.read_verify_vkey()
+    proof = store.read_verify_proof()
+    instances = store.read_verify_instance()
+    aparams = setup_cached_accel(agg_k)
+    ctx = ValueContext()
+    pchip = ValueEccChip()
+    nchip = schip = pchip.scalar_chip
+    t = PoseidonTranscriptRead(proof, ctx, nchip)
+    cp = pv.CircuitProof(
+        name="verify_circuit_l1", vk=vk, params=aparams,
+        proofs=[pv.ProofData(instances=[instances], transcript=t,
+                             key="verify_circuit_l1_0")])
+    *_, ok = pv.verify_single_proof_in_chip(ctx, nchip, schip, pchip, cp)
+    if not ok:
+        raise RuntimeError("layer-1 poseidon proof failed native verification")
+    log.info("verify_check_l1_poseidon: layer-1 proof verified on values")
+    return True
+
+
+def verify2_run(l1_store: FolderStore, l2_store: FolderStore,
+                l1_k: int, l2_k: int, seed: int = 1, transcript: str = "sha"):
+    """Layer-2 aggregation: verify the stored layer-1 outer proof (Poseidon
+    transcript) inside a fresh aggregation circuit and prove THAT at l2_k
+    (SHA transcript by default, EVM-checkable like the reference's final
+    layer)."""
+    from ..circuits.aggregator import (AggregatorCircuit, SingleProofWitness,
+                                       VerifierCircuitTarget)
+    from ..prover.srs import setup_cached_accel
+
+    vk = l1_store.read_verify_vkey()
+    proof = l1_store.read_verify_proof()
+    instances = l1_store.read_verify_instance()
+    aparams = setup_cached_accel(l1_k)
+    target = VerifierCircuitTarget(
+        name="verify_circuit_l1", vk=vk, params=aparams,
+        proofs=[SingleProofWitness(instances=instances, transcript=proof)])
+    agg2 = AggregatorCircuit([target])
+    return _prove_aggregator(agg2, l2_store, l2_k, seed, transcript)
+
+
+def verify2_check(l2_store: FolderStore, l2_k: int):
+    """Natively verify the layer-2 outer proof (VerifyCheck analog)."""
+    return verify_check_outer(l2_store, agg_k=l2_k)
 
 
 def verify_check_outer(store: FolderStore, agg_k: int = 22):

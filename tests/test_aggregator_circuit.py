@@ -56,3 +56,24 @@ def test_aggregator_circuit_mock_prover(inner_proof):
     mp._col_cache.clear()
     failures = mp.verify()
     assert any(f.kind == "copy" for f in failures)
+
+
+def test_aggregator_circuit_lookup_target():
+    """In-circuit aggregation of a LOOKUP-bearing target proof (reference C8
+    tests/lookup.rs analog). This is the gadget path the second recursion
+    layer leans on: a layer-1 aggregator vk carries 4 range lookups."""
+    from halo2_snark_aggregator_tpu.circuits.lookup import SimpleLookupCircuit
+
+    k = SimpleLookupCircuit.K
+    params = ParamsKZG.setup_cached(k)
+    c = SimpleLookupCircuit([1, 3, 5, 7, 11, 13, 15])
+    vk, pk = keygen(c, k, params)
+    proof = create_proof(pk, params, [c], [c.instances()], PoseidonWrite(), seed=3)
+    target = VerifierCircuitTarget(
+        name="lookup", vk=vk, params=params,
+        proofs=[SingleProofWitness(instances=c.instances(), transcript=proof)])
+    agg = AggregatorCircuit([target])
+    instances = agg.instances()
+    mp = MockProver(agg, AGG_K, instances)
+    assert agg.row_usage["base"] < (1 << AGG_K)
+    mp.assert_satisfied()
