@@ -19,17 +19,35 @@ from .value import ValueContext, ValueEccChip
 
 
 class TpuEccChip(ValueEccChip):
-    def __init__(self, mesh=None, c: int = 8, min_msm_size: int = 8):
+    """Size-aware MSM dispatch: device Pippenger for large MSMs (where the
+    MXU pays for the tunnel round-trip), native host MSM below the threshold.
+    Measured on v5e/axon: a few-hundred-point MSM costs ~90ms in device
+    dispatch+materialization vs ~5ms on the native host path; the crossover
+    sits around 2^13 points. Override with `device_min` or H2T_MSM_DEVICE_MIN.
+    """
+
+    def __init__(self, mesh=None, c: int = 8, min_msm_size: int = 8,
+                 device_min: int | None = None):
         super().__init__()
         self.mesh = mesh
         self.c = c
         self.min_msm_size = min_msm_size
+        if device_min is None:
+            import os
+
+            device_min = int(os.environ.get("H2T_MSM_DEVICE_MIN", "8192"))
+        self.device_min = device_min
 
     def multi_exp(self, ctx, points, scalars, names=None):
         ctx.msm_sizes.append(len(points))
         if names:
             ctx.point_list.extend(names)
-        if len(points) < self.min_msm_size:
+        from .. import native
+
+        use_device = len(points) >= (
+            self.min_msm_size if not native.available() else self.device_min
+        )
+        if not use_device:
             return ff.g1_msm(points, scalars)
         if self.mesh is not None:
             from ..parallel.msm_shard import msm_sharded_host

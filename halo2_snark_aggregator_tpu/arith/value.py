@@ -61,6 +61,20 @@ class ValueFieldChip(FieldChip):
             acc += v * c
         return acc % self.modulus
 
+    def poseidon_permute(self, ctx, state, inputs):
+        """Fused sponge round (PoseidonChipSponge fast path): absorb inputs
+        into state[1..], pad marker, one permutation — same schedule as the
+        generic per-op path (reference hash/poseidon.rs:193-230)."""
+        from ..hashes.poseidon_spec import RATE, permute
+
+        s = list(state)
+        for i, v in enumerate(inputs):
+            s[1 + i] = (s[1 + i] + v) % self.modulus
+        if len(inputs) < RATE:
+            s[1 + len(inputs)] = (s[1 + len(inputs)] + 1) % self.modulus
+        ctx.field_ops += 1
+        return permute(s, self.modulus)
+
 
 class ValueEccChip(EccChip):
     def __init__(self):

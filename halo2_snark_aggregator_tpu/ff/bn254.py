@@ -355,6 +355,15 @@ def g1_double(pt):
 
 
 def g1_mul(pt, k: int):
+    """Scalar mul; native C++ fast path (bit-exact, tests/test_native.py)."""
+    from .. import native
+
+    if native.available():
+        return native.g1_mul_batch([pt], [k % R])[0]
+    return g1_mul_py(pt, k)
+
+
+def g1_mul_py(pt, k: int):
     k %= R
     result = None
     add = pt
@@ -367,6 +376,15 @@ def g1_mul(pt, k: int):
 
 
 def g1_msm(points, scalars):
+    """Pippenger MSM over G1; native C++ fast path when available."""
+    from .. import native
+
+    if native.available() and len(points) >= 2:
+        return native.g1_msm(points, [s % R for s in scalars])
+    return g1_msm_py(points, scalars)
+
+
+def g1_msm_py(points, scalars):
     """Pippenger MSM over G1 with window 8. Host-exact oracle for ops/msm."""
     assert len(points) == len(scalars)
     pairs = [(p, s % R) for p, s in zip(points, scalars) if p is not None and s % R != 0]
@@ -605,8 +623,17 @@ def pairing_check(pairs) -> bool:
     """prod e(P_i, Q_i) == 1, computed with one shared final exponentiation.
 
     Mirrors E::multi_miller_loop(...).final_exponentiation().is_identity()
-    at reference verify.rs:733-740.
+    at reference verify.rs:733-740. Native C++ fast path when available
+    (bit-exact, tests/test_native.py); `pairing_check_py` is the oracle.
     """
+    from .. import native
+
+    if native.available():
+        return native.pairing_check(pairs)
+    return pairing_check_py(pairs)
+
+
+def pairing_check_py(pairs) -> bool:
     f = Fq12.one()
     for p, q in pairs:
         if p is None or q is None:

@@ -115,7 +115,20 @@ def generate_constants(
 
 def permute(state: list[int], modulus: int = FR_MOD, t: int = T,
             r_f: int = R_F, r_p: int = R_P) -> list[int]:
-    """Standard (unoptimized) Poseidon permutation.
+    """Poseidon permutation; dispatches to the native C++ runtime for the
+    default BN254-Fr instance (bit-exact, tests/test_native.py), falling back
+    to `permute_py`."""
+    if modulus == FR_MOD and (t, r_f, r_p) == (T, R_F, R_P):
+        from .. import native
+
+        if native.available():
+            return native.poseidon_permute(state)
+    return permute_py(state, modulus, t, r_f, r_p)
+
+
+def permute_py(state: list[int], modulus: int = FR_MOD, t: int = T,
+               r_f: int = R_F, r_p: int = R_P) -> list[int]:
+    """Standard (unoptimized) Poseidon permutation, pure-Python oracle.
 
     Bit-identical to the optimized start/partial/end schedule the reference
     runs (hash/poseidon.rs:193-230): the PSE `Spec` derives its optimized

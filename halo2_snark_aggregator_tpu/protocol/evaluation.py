@@ -88,52 +88,81 @@ class Schema:
         return acc, leftover, names
 
     def eval_prepare(self, ctx, schip, one, scalar):
+        """Flattens to deduplicated (key, point, scalar) triples.
+
+        Same semantics as the reference's recursive merge (evaluation.rs:
+        250-294: dedup scalars by commitment key, push multiplied scalars
+        down) but accumulated into one insertion-ordered dict so the merge is
+        O(terms) instead of O(terms^2) — the λ-RLC-folded aggregation AST has
+        batch×queries terms and the quadratic scan dominated large batches.
+        """
+        acc: dict = {}
+        self._prepare(ctx, schip, one, scalar, acc)
+        return [(name, p, s) for name, (p, s) in acc.items()]
+
+    @staticmethod
+    def _insert(ctx, schip, one, acc, name, p, s):
+        prev = acc.get(name)
+        if prev is None:
+            acc[name] = (p, s)
+        else:
+            p2, s2 = prev
+            merged = schip.add(
+                ctx,
+                s2 if s2 is not None else one,
+                s if s is not None else one,
+            )
+            acc[name] = (p2, merged)
+
+    def _scalar_value(self, ctx, schip):
+        """Value of a commitment-free subtree."""
+        k = self.kind
+        if k == Schema.K_EVAL:
+            return self.cq.eval
+        if k == Schema.K_SCALAR:
+            return self.scalar_v
+        if k == Schema.K_ADD:
+            return schip.add(ctx, self.a._scalar_value(ctx, schip),
+                             self.b._scalar_value(ctx, schip))
+        if k == Schema.K_MUL:
+            return schip.mul(ctx, self.a._scalar_value(ctx, schip),
+                             self.b._scalar_value(ctx, schip))
+        raise ValueError(k)
+
+    def _prepare(self, ctx, schip, one, scalar, acc):
         k = self.kind
         if k == Schema.K_COMMIT:
-            return [(self.cq.key, self.cq.commitment, scalar)]
-        if k == Schema.K_EVAL:
-            e = self.cq.eval if scalar is None else schip.mul(ctx, scalar, self.cq.eval)
-            return [("", None, e)]
-        if k == Schema.K_SCALAR:
-            s = self.scalar_v if scalar is None else schip.mul(ctx, self.scalar_v, scalar)
-            return [("", None, s)]
+            self._insert(ctx, schip, one, acc, self.cq.key, self.cq.commitment, scalar)
+            return
+        if k in (Schema.K_EVAL, Schema.K_SCALAR):
+            v = self.cq.eval if k == Schema.K_EVAL else self.scalar_v
+            if scalar is not None:
+                v = schip.mul(ctx, scalar, v)
+            self._insert(ctx, schip, one, acc, "", None, v)
+            return
         if k == Schema.K_ADD:
             l, r = self.a, self.b
             if not l.has_commitment and not r.has_commitment:
-                lv = l.eval_prepare(ctx, schip, one, None)
-                rv = r.eval_prepare(ctx, schip, one, None)
-                assert len(lv) == 1 and len(rv) == 1
-                s = schip.add(ctx, lv[0][2], rv[0][2])
+                s = schip.add(ctx, l._scalar_value(ctx, schip),
+                              r._scalar_value(ctx, schip))
                 if scalar is not None:
                     s = schip.mul(ctx, scalar, s)
-                return [("", None, s)]
-            res: list = []
-            for side in (l, r):
-                for name, p, s in side.eval_prepare(ctx, schip, one, scalar):
-                    for i, (n2, p2, s2) in enumerate(res):
-                        if n2 == name:
-                            merged = schip.add(
-                                ctx,
-                                s2 if s2 is not None else one,
-                                s if s is not None else one,
-                            )
-                            res[i] = (n2, p2, merged)
-                            break
-                    else:
-                        res.append((name, p, s))
-            return res
+                self._insert(ctx, schip, one, acc, "", None, s)
+                return
+            l._prepare(ctx, schip, one, scalar, acc)
+            r._prepare(ctx, schip, one, scalar, acc)
+            return
         if k == Schema.K_MUL:
             l, r = self.a, self.b
             if not l.has_commitment:
                 s_side, rem = l, r
             else:
                 s_side, rem = r, l
-            sv = s_side.eval_prepare(ctx, schip, one, None)
-            assert len(sv) == 1
-            s = sv[0][2]
+            s = s_side._scalar_value(ctx, schip)
             if scalar is not None:
                 s = schip.mul(ctx, scalar, s)
-            return rem.eval_prepare(ctx, schip, one, s)
+            rem._prepare(ctx, schip, one, s, acc)
+            return
         raise ValueError(k)
 
     def estimate(self, with_scalar: bool = False) -> int:
