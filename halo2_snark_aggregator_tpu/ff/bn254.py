@@ -56,6 +56,27 @@ def sqrt_mod_p(a: int) -> int | None:
     return r
 
 
+def fr_inv_batch(vals: list[int]) -> list[int]:
+    """Batch inversion mod R (Montgomery trick; native fast path).
+
+    Zero entries map to zero (callers treat them as invalid-witness)."""
+    from .. import native
+
+    if native.available() and len(vals) >= 8:
+        return native.fe_inv_batch(native.FR, [v % R for v in vals])
+    out = [0] * len(vals)
+    prefix = [1] * (len(vals) + 1)
+    for i, v in enumerate(vals):
+        prefix[i + 1] = prefix[i] * v % R if v % R else prefix[i]
+    inv = pow(prefix[-1], -1, R)
+    for i in range(len(vals) - 1, -1, -1):
+        v = vals[i] % R
+        if v:
+            out[i] = inv * prefix[i] % R
+            inv = inv * v % R
+    return out
+
+
 def fe_to_bytes(a: int) -> bytes:
     """32-byte little-endian repr (halo2curves `to_repr`)."""
     return int(a).to_bytes(32, "little")

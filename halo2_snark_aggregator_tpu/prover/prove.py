@@ -181,22 +181,32 @@ def create_proof(
                 return pk.fixed_lagrange[col.index]
             return instance_lagrange[p][col.index]
 
+        # hoisted omega^i row coefficients + batch-inverted denominators
+        omega_pows = [0] * usable
+        w = 1
+        for i in range(usable):
+            omega_pows[i] = w
+            w = w * domain.omega % R
+
         sets = []
         last_z = 1
         for chunk_idx in range(0, len(perm_cols), chunk_len):
             chunk = perm_cols[chunk_idx : chunk_idx + chunk_len]
+            nums = [1] * usable
+            dens = [1] * usable
+            for j, col in enumerate(chunk):
+                rows = col_rows(col)
+                sigmas = pk.sigmas_lagrange[chunk_idx + j]
+                dcoef = pow(FR_DELTA, chunk_idx + j, R) * beta % R
+                for i in range(usable):
+                    v = rows[i]
+                    nums[i] = nums[i] * ((v + dcoef * omega_pows[i] + gamma) % R) % R
+                    dens[i] = dens[i] * ((v + beta * sigmas[i] + gamma) % R) % R
+            dinv = ff.fr_inv_batch(dens)
             z = [0] * n
             z[0] = last_z
             for i in range(usable):
-                num = 1
-                den = 1
-                for j, col in enumerate(chunk):
-                    v = col_rows(col)[i]
-                    sigma = pk.sigmas_lagrange[chunk_idx + j][i]
-                    do = pow(FR_DELTA, chunk_idx + j, R) * pow(domain.omega, i, R) % R
-                    num = num * ((v + beta * do + gamma) % R) % R
-                    den = den * ((v + beta * sigma + gamma) % R) % R
-                z[i + 1] = z[i] * num % R * pow(den, -1, R) % R
+                z[i + 1] = z[i] * nums[i] % R * dinv[i] % R
             last_z = z[usable]
             for i in range(usable + 1, n):
                 z[i] = rand_fr()
@@ -210,12 +220,16 @@ def create_proof(
     # -- 5. lookup z polynomials ------------------------------------------
     for p in range(num_proofs):
         for lk in lookups_data[p]:
+            dens = [
+                (lk["a_perm"][i] + beta) * (lk["s_perm"][i] + gamma) % R
+                for i in range(usable)
+            ]
+            dinv = ff.fr_inv_batch(dens)
             z = [0] * n
             z[0] = 1
             for i in range(usable):
                 num = (lk["a_rows"][i] + beta) * (lk["s_rows"][i] + gamma) % R
-                den = (lk["a_perm"][i] + beta) * (lk["s_perm"][i] + gamma) % R
-                z[i + 1] = z[i] * num % R * pow(den, -1, R) % R
+                z[i + 1] = z[i] * num % R * dinv[i] % R
             for i in range(usable + 1, n):
                 z[i] = rand_fr()
             lk["z"] = z
