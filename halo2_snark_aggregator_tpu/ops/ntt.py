@@ -125,11 +125,25 @@ def ntt_staged(values, k: int, inverse: bool = False):
 STAGED_K = 16
 
 
+def _use_pallas() -> bool:
+    """Fused Pallas butterflies (ops/ntt_pallas) — opt-in via NTT_PALLAS=1
+    until validated on real TPU hardware (interpret mode is bit-exact; the
+    Mosaic lowering is being hardened)."""
+    import os
+
+    return os.environ.get("NTT_PALLAS", "") not in ("", "0")
+
+
 def ntt_auto(values, k: int, inverse: bool = False):
     """Dispatch: fused single program for small k (fast dispatch, cheap
-    compile), staged per-stage programs for large k."""
+    compile); for large k, fused Pallas butterfly stages on TPU
+    (ops/ntt_pallas.py) or staged per-stage jnp programs elsewhere."""
     if k < STAGED_K:
         return ntt(jnp.asarray(values), k, inverse)
+    if _use_pallas():
+        from .ntt_pallas import ntt_pallas
+
+        return ntt_pallas(values, k, inverse)
     return ntt_staged(values, k, inverse)
 
 
