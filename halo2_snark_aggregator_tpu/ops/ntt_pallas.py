@@ -102,25 +102,32 @@ def _carry(cols, out_limbs):
     return limbs
 
 
-def _cond_sub_p(r_rows):
-    """rows -= p if rows >= p (one pass; inputs < 2p)."""
-    d = []
-    borrow = jnp.zeros_like(r_rows[0])
-    for i in range(LIMBS):
-        t = r_rows[i] - jnp.uint32(P_INTS[i]) - borrow
-        d.append(t & MASK)
-        borrow = (t >> LIMB_BITS) & 1
-    keep = borrow == 1  # r < p
-    return [jnp.where(keep, r_rows[i], d[i]) for i in range(LIMBS)]
+def _cond_sub_p(r_rows, times: int = 1):
+    """rows -= p while rows >= p, unrolled `times` passes."""
+    for _ in range(times):
+        d = []
+        borrow = jnp.zeros_like(r_rows[0])
+        for i in range(LIMBS):
+            t = r_rows[i] - jnp.uint32(P_INTS[i]) - borrow
+            d.append(t & MASK)
+            borrow = (t >> LIMB_BITS) & 1
+        keep = borrow == 1  # r < p
+        r_rows = [jnp.where(keep, r_rows[i], d[i]) for i in range(LIMBS)]
+    return r_rows
 
 
-def _mont_mul_rows(a_rows, b_rows):
-    t_limbs = _carry(_conv(a_rows, b_rows, NCOLS), NCOLS)
+def _redc_rows(t_limbs, n_sub: int = 1):
+    """Proper 32-limb T -> T*2^-256 mod p (< p after n_sub cond-subtracts)."""
     m_limbs = _carry(_conv_const(t_limbs[:LIMBS], PINV_INTS, LIMBS), LIMBS)
     mp_cols = _conv_const(m_limbs, P_INTS, NCOLS)
     u_cols = [mp + t for mp, t in zip(mp_cols, t_limbs)]
     u_limbs = _carry(u_cols, NCOLS + 1)
-    return _cond_sub_p(u_limbs[LIMBS : 2 * LIMBS])
+    return _cond_sub_p(u_limbs[LIMBS : 2 * LIMBS], n_sub)
+
+
+def _mont_mul_rows(a_rows, b_rows):
+    t_limbs = _carry(_conv(a_rows, b_rows, NCOLS), NCOLS)
+    return _redc_rows(t_limbs, 1)
 
 
 def _add_mod(a_rows, b_rows):
