@@ -67,6 +67,45 @@ def from_affine_ints(points) -> tuple:
     )
 
 
+def _sqrt_prog(x: fr.RR):
+    """Device: y = (x^3+3)^((p+1)/4), plus canonical forms for the on-curve
+    check y^2 == x^3+3 (p = 3 mod 4)."""
+    x2 = _mul(x, x)
+    t = fr.add(FQ, _mul(x2, x), fr.const_like(FQ, x, FQ.to_mont_int(3)))
+    y = fr.pow_const(FQ, t, (ff.P + 1) // 4)
+    y2 = _mul(y, y)
+    return (
+        fr.to_canonical16(FQ, y),
+        fr.to_canonical16(FQ, y2),
+        fr.to_canonical16(FQ, t),
+    )
+
+
+def decompress_g1_ys(xs_ints: list[int]):
+    """Batched G1 decompression on device: for each x, the square root
+    y = sqrt(x^3+3) as a standard int (parity NOT yet adjusted), or None if
+    x is not on the curve. One jitted program (a 254-step pow scan batched
+    over all points) replaces per-point host sqrt — the transcript replay
+    decompresses every proof point, which costs ~0.15 ms each in host Python
+    (mirrors halo2curves' from_bytes; used by protocol/batched.py)."""
+    import jax
+
+    from . import field as fo
+
+    n = len(xs_ints)
+    if n == 0:
+        return []
+    pad = 1 << max(3, (n - 1).bit_length())
+    xs = list(xs_ints) + [1] * (pad - n)  # x=1 is on-curve (y^2 = 4)
+    x = fr.rr_from_host(FQ, xs)
+    y16, y2_16, t16 = jax.jit(_sqrt_prog)(x)
+    y16 = np.asarray(y16)
+    ok = np.asarray(y2_16) == np.asarray(t16)
+    ok = ok.all(axis=-1)
+    ys = fo.std_to_ints(y16)
+    return [ys[i] if bool(ok[i]) else None for i in range(n)]
+
+
 def to_affine_ints(p) -> list:
     """Batched projective RR -> host affine int points (None = identity)."""
     xs = fr.rr_to_host(FQ, p[0])

@@ -30,6 +30,7 @@ import numpy as np
 from . import curve_rr as cv
 from . import field as fo
 from . import field_rr as fr
+from ..ff import bn254 as ff
 
 # loop-carry limb bound for point coordinates (see field_rr.with_bound)
 CARRY_BOUND = 12
@@ -58,7 +59,8 @@ def _pin(p):
 def _varying_identity(ref: fr.RR, shape):
     """Identity points whose arrays derive from the (possibly sharded) input
     so loop-carry varying-axis types line up under shard_map."""
-    vzero = jnp.broadcast_to(ref.limbs[0] & jnp.int32(0), shape + (fr.NLIMBS,))
+    base = ref.limbs.reshape(-1, fr.NLIMBS)[0]  # one limb vector
+    vzero = jnp.broadcast_to(base & jnp.int32(0), shape + (fr.NLIMBS,))
     one = jnp.asarray(cv.FQ.one_mont)
     return _pin((
         fr.RR(vzero, CARRY_BOUND),
@@ -245,6 +247,177 @@ def msm_staged(points, scalars, c: int = 8):
                      jnp.asarray(counts), c=c)
     total = _reduce_jit(acc, c=c)
     return _combine_jit(total, c=c)
+
+
+# ---------------------------------------------------------------------------
+# Log-depth small/medium-N path: segmented-scan bucket sums + host finish.
+#
+# The while_loop accumulate + serial two-accumulator reduce + serial window
+# combine have serial depth ~ max_load + 2*2^c + (256-c) point ops; at the
+# verifier's MSM sizes (2^11-2^14) that is pure latency (measured 444 ms for
+# N=2048 on v5e). This path instead:
+#   * gathers the per-window sorted points once, then computes bucket sums
+#     with ONE segmented associative scan over the point axis — depth
+#     2*log2(N), each level a (W, N)-batched complete add (full VPU
+#     utilization, static shapes, no data-dependent while_loop);
+#   * reduces buckets to per-window totals with a suffix associative scan +
+#     tree sum — depth ~3*log2(2^c);
+#   * finishes the window combination ON HOST (the 248 serial doublings are
+#     sub-ms in host bigints, and callers materialize the result anyway).
+# ---------------------------------------------------------------------------
+
+
+def _padd(a, b):
+    return _pin(cv.add(a, b))
+
+
+def _roll_masked(pts, ident, d, direction: int):
+    """Shift batched points along axis 1 by a TRACED distance d (down for
+    direction=+1, up for -1); vacated positions become the identity. A
+    traced shift keeps every Hillis-Steele level the same traced body — the
+    point add traces ONCE under fori_loop instead of log2(N) unrolled
+    instances (each complete add is ~3k HLO ops; unrolling was a
+    multi-hour XLA CPU compile / OOM'd the axon compile helper)."""
+    n = pts[0].limbs.shape[1]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    keep = (pos >= d) if direction > 0 else (pos < n - d)
+    out = []
+    for comp, icomp in zip(pts, ident):
+        rolled = jnp.roll(comp.limbs, direction * d, axis=1)
+        out.append(fr.RR(
+            jnp.where(keep[None, :, None], rolled,
+                      jnp.broadcast_to(icomp.limbs, rolled.shape)),
+            comp.bound,
+        ))
+    return tuple(out), keep
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _bucket_sums_chunk(points, order_c, starts_c, counts_c):
+    """Bucket sums for one window chunk via a Hillis-Steele segmented scan:
+    log2(N) fori_loop levels, every level one (wc, N)-batched complete add
+    with a same-segment mask. Depth 2*log2(N) vs the while_loop
+    accumulate's max bucket load, at full VPU utilization."""
+    px, py, pz = points
+    n = px.limbs.shape[0]
+    nbuckets = starts_c.shape[1]
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    pts = _pin(cv.gather_point((px, py, pz), order_c))  # (wc, N, 32) limbs
+    # segment ids from starts: id[i] = #buckets with start <= i, minus 1
+    seg = (
+        jnp.sum((starts_c[:, None, :] <= pos[None, :, None]).astype(jnp.int32),
+                axis=2) - 1
+    )  # (wc, N)
+    ident = _varying_identity(px, (order_c.shape[0], 1))
+
+    def level(i, pts):
+        d = jnp.int32(1) << i
+        shifted, keep = _roll_masked(pts, ident, d, +1)
+        seg_sh = jnp.where(keep[None, :],
+                           jnp.roll(seg, d, axis=1), jnp.int32(-1))
+        summed = cv.add(shifted, pts)
+        return _pin(cv.select_point(seg_sh == seg, summed, pts))
+
+    pts = jax.lax.fori_loop(0, max(n - 1, 1).bit_length(), level, pts)
+    # bucket sum = scan value at each bucket's last element
+    last = jnp.clip(starts_c + counts_c - 1, 0, n - 1)  # (wc, B)
+    sums = tuple(
+        fr.RR(jnp.take_along_axis(comp.limbs, last[:, :, None], axis=1),
+              comp.bound)
+        for comp in pts
+    )
+    identb = _varying_identity(px, (order_c.shape[0], nbuckets))
+    return _pin(cv.select_point(counts_c > 0, sums, identb))
+
+
+def bucket_sums_scan(points, order, starts, counts, c: int = 8,
+                     w_chunk: int = 8):
+    """Bucket sums via segmented scan: same (W, 2^c) projective accumulator
+    as _bucket_accumulate, at depth 2*log2(N) instead of max bucket load.
+    Window chunks run as separate dispatches of one shared jitted program
+    (bounds both the gathered-point working set and the compile size)."""
+    windows = order.shape[0]
+    out_chunks = []
+    for w0 in range(0, windows, w_chunk):
+        out_chunks.append(_bucket_sums_chunk(
+            points, order[w0 : w0 + w_chunk], starts[w0 : w0 + w_chunk],
+            counts[w0 : w0 + w_chunk],
+        ))
+    return tuple(
+        fr.RR(jnp.concatenate([ch[i].limbs for ch in out_chunks], axis=0),
+              out_chunks[0][i].bound)
+        for i in range(3)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def bucket_reduce_logdepth(acc, c: int):
+    """Per-window totals sum_b b*S_b at depth ~2*2*log2(2^c): suffix scan
+    of bucket sums (sum_b b*S_b = sum_{b>=1} suffix(b)) followed by a
+    prefix-sum scan whose last element is the total. Both scans are
+    Hillis-Steele fori_loops with traced shifts (one point-add trace
+    each)."""
+    nbuckets = 1 << c
+    ident = _varying_identity(acc[0], (acc[0].limbs.shape[0], 1))
+    levels = max(nbuckets - 1, 1).bit_length()
+
+    def suffix_level(i, suf):
+        d = jnp.int32(1) << i
+        shifted, _ = _roll_masked(suf, ident, d, -1)
+        return _padd(suf, shifted)
+
+    suf = jax.lax.fori_loop(0, levels, suffix_level, acc)
+    # drop bucket 0's suffix (sum runs over b >= 1)
+    cur = tuple(
+        fr.RR(
+            comp.limbs.at[:, 0].set(
+                jnp.broadcast_to(icomp.limbs[:, 0], comp.limbs[:, 0].shape)
+            ),
+            comp.bound,
+        )
+        for comp, icomp in zip(suf, ident)
+    )
+
+    def prefix_level(i, cur):
+        d = jnp.int32(1) << i
+        shifted, _ = _roll_masked(cur, ident, d, +1)
+        return _padd(cur, shifted)
+
+    cur = jax.lax.fori_loop(0, levels, prefix_level, cur)
+    return tuple(fr.RR(comp.limbs[:, nbuckets - 1], comp.bound) for comp in cur)
+
+
+def combine_windows_host(totals, c: int):
+    """Host finish: totals is the device (W,) per-window projective point
+    tuple; returns the affine int point (or None). ~256 bigint doublings."""
+    host = tuple(fr.RR(np.asarray(comp.limbs), comp.bound) for comp in totals)
+    pts = cv.to_affine_ints(host)
+    res = None
+    for w in range(len(pts) - 1, -1, -1):
+        if res is not None:
+            for _ in range(c):
+                res = ff.g1_double(res)
+        res = ff.g1_add(res, pts[w]) if res is not None else pts[w]
+    return res
+
+
+def msm_window_totals(points, scalars_np: np.ndarray, c: int = 8):
+    """Device part of the log-depth MSM: host plan + segmented-scan bucket
+    sums + log-depth reduce. Returns the (W,) projective window totals
+    (device); finish with combine_windows_host."""
+    order, starts, counts = host_bucket_plan(scalars_np, c)
+    acc = bucket_sums_scan(points, jnp.asarray(order), jnp.asarray(starts),
+                           jnp.asarray(counts), c=c)
+    return bucket_reduce_logdepth(acc, c=c)
+
+
+def msm_fast(points, scalars, c: int = 8):
+    """Small/medium-N MSM with host finish: affine int point (or None).
+    For multi-million-point commits use msm_staged_bounded (the (W, N)
+    gathered-point working set here grows as windows*N)."""
+    totals = msm_window_totals(points, np.asarray(scalars), c)
+    return combine_windows_host(totals, c)
 
 
 def msm_host(points_int, scalars_int, c: int = 8):

@@ -72,3 +72,46 @@ def test_msm_tiny_window():
     expected = ff.g1_msm(pts, scalars)
     got = msm_mod.msm_host(pts, scalars, c=4)
     assert got == expected
+
+
+def test_msm_fast_logdepth():
+    """Segmented-scan bucket sums + log-depth reduce (msm_fast) vs oracle,
+    including edge scalars and a non-power-of-two N."""
+    from halo2_snark_aggregator_tpu.ops import curve_rr as cvr
+    from halo2_snark_aggregator_tpu.ops import field_rr as fr
+
+    rng = random.Random(5)
+    for n in (48, 64):
+        pts = _rand_points(rng, n)
+        scalars = [rng.randrange(ff.R) for _ in range(n)]
+        scalars[0] = 0
+        scalars[1] = 1
+        scalars[2] = ff.R - 1
+        scalars[3] = scalars[4]  # duplicate digits exercise segment masks
+        expected = ff.g1_msm(pts, scalars)
+        jpts = tuple(
+            fr.with_bound(c, msm_mod.CARRY_BOUND)
+            for c in cvr.from_affine_ints(pts)
+        )
+        scal16 = np.asarray(fo.ints_to_limbs(scalars))
+        got = msm_mod.msm_fast(jpts, scal16, c=8)
+        assert got == expected
+
+
+def test_decompress_g1_ys():
+    from halo2_snark_aggregator_tpu.ops import curve_rr as cvr
+
+    rng = random.Random(6)
+    pts = _rand_points(rng, 5)
+    xs = [p[0] for p in pts]
+    # an x not on the curve: x^3+3 must be a non-residue
+    bad = next(
+        x for x in range(2, 50)
+        if pow((x**3 + 3) % ff.P, (ff.P - 1) // 2, ff.P) != 1
+    )
+    xs.append(bad)
+    ys = cvr.decompress_g1_ys(xs)
+    assert ys[-1] is None
+    for (x, y_ref), y in zip(pts, ys[:-1]):
+        assert y is not None and (y * y - (x**3 + 3)) % ff.P == 0
+        assert y in (y_ref, ff.P - y_ref)
