@@ -60,6 +60,49 @@ def bench_msm():
     }
 
 
+def bench_multihost():
+    """Sharded-MSM throughput over a (host, chip) mesh. On a real pod
+    deployment set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID per process; the outer mesh axis then rides DCN (one
+    point per host per MSM crosses it — parallel/multihost.py). On a
+    single host it degenerates to a virtual grid over the local devices,
+    which still measures the two-level reduction overhead. Opt-in via
+    BENCH_MULTIHOST=1."""
+    import jax
+
+    _configure_jax()
+    import numpy as np
+
+    from halo2_snark_aggregator_tpu.parallel import multihost as mh
+
+    mh.init_distributed()
+    n = int(os.environ.get("BENCH_MSM_SIZE", "65536"))
+    mesh = mh.make_host_mesh()
+    nh, nc = mesh.shape[mh.HOST_AXIS], mesh.shape[mh.CHIP_AXIS]
+    from __graft_entry__ import _example_msm_inputs
+
+    jpts, jscal = _example_msm_inputs(n)
+    scal_np = np.asarray(jscal)
+
+    def run():
+        out = mh.msm_hier(jpts, scal_np, mesh, c=8)
+        return [np.asarray(comp.limbs) for comp in out]
+
+    run()  # compile
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        run()
+    dt = (time.time() - t0) / reps
+    pts_per_s = n / dt
+    return {
+        "metric": "bn254_msm_points_per_sec_multihost",
+        "value": round(pts_per_s, 1),
+        "unit": f"points/s (2^{n.bit_length()-1} MSM, {nh}x{nc} host-chip mesh)",
+        "vs_baseline": round(pts_per_s / 1.0e6, 4),
+    }
+
+
 def bench_aggregation(use_tpu: bool = True):
     if use_tpu:
         _configure_jax()
@@ -245,6 +288,8 @@ if __name__ == "__main__":
     try:
         if os.environ.get("BENCH_MSM"):
             result = bench_msm()
+        elif os.environ.get("BENCH_MULTIHOST"):
+            result = bench_multihost()
         elif os.environ.get("BENCH_RECURSE"):
             result = bench_recurse()
         elif os.environ.get("BENCH_BATCHED"):

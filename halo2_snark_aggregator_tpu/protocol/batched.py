@@ -143,10 +143,13 @@ class BatchedVerifier:
     """Compile once per (vk, batch); verify many batches."""
 
     def __init__(self, vk, params, batch: int, sample_proof: bytes,
-                 sample_instances: list, msm_window: int = 8):
+                 sample_instances: list, msm_window: int = 8,
+                 mesh=None, mesh_axis: str = "shard"):
         self.vk = vk
         self.params = params
         self.batch = batch
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         self.n_instances = [len(col) for col in sample_instances]
 
         tape = Tape()
@@ -199,7 +202,10 @@ class BatchedVerifier:
         self.run_tape = jax.jit(compile_tape(tape, batch))
         self.msm_window = msm_window
         self._phase_b1 = jax.jit(self._build_phase_b1())
-        self._phase_b2 = jax.jit(self._build_phase_b2())
+        if mesh is None:
+            self._phase_b2 = jax.jit(self._build_phase_b2())
+        else:
+            self._phase_b2_one = self._build_phase_b2_sharded()
 
     # -- host-side packing --------------------------------------------------
     def _decompress_all(self, proofs: list[bytes]):
@@ -347,6 +353,74 @@ class BatchedVerifier:
 
         return phase_b2
 
+    def _build_phase_b2_sharded(self):
+        """Mesh-sharded B2: MSM entry points (and their host bucket plans)
+        are split over the mesh axis; each device runs the bucket
+        scan/reduce on its chunk; per-window shard totals come back
+        P(axis)-stacked and are folded on host (ndev * W point adds — the
+        DCN-analog traffic is one (W, 3, 32)-limb tensor per device)."""
+        import functools
+
+        from jax.sharding import PartitionSpec as P
+
+        window = self.msm_window
+        mesh, axis = self.mesh, self.mesh_axis
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=((P(axis), P(axis), P(axis)), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis)),
+        )
+        def run_one(pts, order, starts, counts):
+            acc = msm_mod.bucket_sums_scan(
+                pts, order[0], starts[0], counts[0], c=window
+            )
+            tot = msm_mod.bucket_reduce_logdepth(acc, c=window)
+            return tuple(fr.RR(comp.limbs[None], comp.bound) for comp in tot)
+
+        return run_one
+
+    def _run_phase_b2_sharded(self, device_pts, scal16s):
+        ndev = self.mesh.shape[self.mesh_axis]
+        outs = []
+        for pts, scal16 in zip(device_pts, scal16s):
+            scal_np = np.asarray(scal16)
+            chunk = scal_np.shape[0] // ndev
+            assert chunk * ndev == scal_np.shape[0]
+            plans = [
+                msm_mod.host_bucket_plan(
+                    scal_np[d * chunk : (d + 1) * chunk], self.msm_window
+                )
+                for d in range(ndev)
+            ]
+            order = jnp.asarray(np.stack([p[0] for p in plans]))
+            starts = jnp.asarray(np.stack([p[1] for p in plans]))
+            counts = jnp.asarray(np.stack([p[2] for p in plans]))
+            outs.append(self._phase_b2_one(pts, order, starts, counts))
+        return outs
+
+    def _combine_sharded_windows(self, tot):
+        """(ndev, W)-stacked projective shard totals -> affine int point."""
+        arrays = [np.asarray(comp.limbs) for comp in tot]
+        ndev = arrays[0].shape[0]
+        per_window = None
+        for d in range(ndev):
+            pts = cvr.to_affine_ints(tuple(
+                fr.RR(a[d], comp.bound) for a, comp in zip(arrays, tot)
+            ))
+            if per_window is None:
+                per_window = pts
+            else:
+                per_window = [ff.g1_add(a, b)
+                              for a, b in zip(per_window, pts)]
+        res = None
+        for w in range(len(per_window) - 1, -1, -1):
+            if res is not None:
+                for _ in range(self.msm_window):
+                    res = ff.g1_double(res)
+            res = ff.g1_add(res, per_window[w])
+        return res
+
     # -- public API ---------------------------------------------------------
     def verify(self, proofs: list[bytes], instances_per_lane: list):
         assert len(proofs) == self.batch
@@ -376,19 +450,26 @@ class BatchedVerifier:
             ))
 
         scal16s, e16s = self._phase_b1(slots, jnp.asarray(lam_pows))
-        plans_dev = []
-        for scal16 in scal16s:
-            order, starts, counts = msm_mod.host_bucket_plan(
-                np.asarray(scal16), self.msm_window
-            )
-            plans_dev.append(
-                (jnp.asarray(order), jnp.asarray(starts), jnp.asarray(counts))
-            )
-        outs = self._phase_b2(*device_pts, plans_dev)
+        if self.mesh is not None:
+            outs = self._run_phase_b2_sharded(device_pts, scal16s)
+        else:
+            plans_dev = []
+            for scal16 in scal16s:
+                order, starts, counts = msm_mod.host_bucket_plan(
+                    np.asarray(scal16), self.msm_window
+                )
+                plans_dev.append(
+                    (jnp.asarray(order), jnp.asarray(starts),
+                     jnp.asarray(counts))
+                )
+            outs = self._phase_b2(*device_pts, plans_dev)
 
         results = []
         for totals, e16 in zip(outs, e16s):
-            pt = msm_mod.combine_windows_host(totals, self.msm_window)
+            if self.mesh is not None:
+                pt = self._combine_sharded_windows(totals)
+            else:
+                pt = msm_mod.combine_windows_host(totals, self.msm_window)
             if e16 is not None:
                 e_int = fo.std_to_ints(np.asarray(e16))[0]
                 gpt = ff.g1_mul(ff.G1_GEN, e_int) if e_int else None

@@ -66,3 +66,20 @@ def test_batched_rejects_bad_instance(setup):
     bad[1][0][0] = (bad[1][0][0] + 1) % (2**64)
     *_pair, ok = bv.verify(proofs, bad)
     assert not ok
+
+
+def test_batched_sharded_matches_oracle(setup):
+    """Mesh-sharded phase B2 (8-device CPU mesh) is bit-identical to the
+    single-device batched verifier and the value oracle."""
+    from halo2_snark_aggregator_tpu.parallel.msm_shard import make_mesh
+
+    params, vk, proofs, insts = setup
+    expected_wx, expected_wg = _oracle(params, vk, proofs, insts)
+
+    mesh = make_mesh(8)
+    bv = BatchedVerifier(vk, params, batch=2, sample_proof=proofs[0],
+                         sample_instances=insts[0], msm_window=8, mesh=mesh)
+    w_x, w_g, ok = bv.verify(proofs, insts)
+    assert ok, "sharded batched pairing failed"
+    assert w_x == expected_wx
+    assert w_g == expected_wg
