@@ -205,6 +205,79 @@ def bench_batched():
     }
 
 
+def bench_zkevm():
+    """zkevm-shape workload (reference A27 zkevm_test at K=16 / C9): prove
+    ZKEVM_NPROOFS wide multi-phase multi-lookup proofs at ZKEVM_K with the
+    TPU-accelerated prover, then time hybrid-TPU aggregation verification
+    (the per-proof MSMs now span ~40 commitments: 26 advice + lookups +
+    permutation chunks). Opt-in via BENCH_ZKEVM=1."""
+    import hashlib
+    import pickle
+
+    _configure_jax()
+    from halo2_snark_aggregator_tpu.arith.tpu_value import make_tpu_chips
+    from halo2_snark_aggregator_tpu.circuits.zkevm import ZkevmShapeCircuit
+    from halo2_snark_aggregator_tpu.protocol import verify as pv
+    from halo2_snark_aggregator_tpu.protocol.transcript import PoseidonTranscriptRead
+    from halo2_snark_aggregator_tpu.prover.accel import create_proof_accel, keygen_accel
+    from halo2_snark_aggregator_tpu.prover.srs import setup_cached_accel
+    from halo2_snark_aggregator_tpu.transcript.host import PoseidonWrite
+
+    k = int(os.environ.get("ZKEVM_K", "14"))
+    nproofs = int(os.environ.get("ZKEVM_NPROOFS", "4"))
+    params = setup_cached_accel(k)
+    circuit = ZkevmShapeCircuit(k=k, seed=1)
+    vk, apk = keygen_accel(circuit, k, params)
+
+    cache = f"/tmp/bench_zkevm_proofs_k{k}_n{nproofs}.pkl"
+    fp = hashlib.sha256(str(vk.transcript_repr()).encode()).hexdigest()[:16]
+    proofs = None
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            tag, proofs = pickle.load(f)
+        if tag != fp:
+            proofs = None
+    if proofs is None:
+        proofs = []
+        for i in range(nproofs):
+            c = ZkevmShapeCircuit(k=k, seed=2 + i)
+            proofs.append(
+                (create_proof_accel(apk, params, [c], [c.instances()],
+                                    PoseidonWrite(), seed=i),
+                 c.instances()))
+        with open(cache, "wb") as f:
+            pickle.dump((fp, proofs), f)
+
+    def run_once():
+        ctx, nchip, schip, pchip = make_tpu_chips()
+        pdata = [
+            pv.ProofData(instances=[insts],
+                         transcript=PoseidonTranscriptRead(pb, ctx, nchip),
+                         key=f"p{i}")
+            for i, (pb, insts) in enumerate(proofs)
+        ]
+        agg_t = PoseidonTranscriptRead(b"", ctx, nchip)
+        # AccelParams exposes n/g_lagrange/g2/s_g2 — all the verifier reads
+        cp = pv.CircuitProof(name="zkevm", vk=vk, params=params, proofs=pdata)
+        *_, ok = pv.verify_aggregation_proofs_in_chip(
+            ctx, nchip, schip, pchip, [cp], agg_t)
+        assert ok
+        return ok
+
+    run_once()  # warm
+    t0 = time.time()
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+    for _ in range(reps):
+        run_once()
+    dt = (time.time() - t0) / reps
+    return {
+        "metric": "zkevm_shape_proofs_verified_per_sec",
+        "value": round(nproofs / dt, 3),
+        "unit": f"proofs/s (zkevm-shape K={k}, batch {nproofs}, 1 chip)",
+        "vs_baseline": round(nproofs / dt / 32.0, 4),
+    }
+
+
 def bench_outer():
     """Outer aggregation proof wall-clock (the reference's zkevm-bench
     analog: MultiCircuitsCreateProof at aggregator k — TPU-accelerated
@@ -294,6 +367,8 @@ if __name__ == "__main__":
             result = bench_recurse()
         elif os.environ.get("BENCH_BATCHED"):
             result = bench_batched()
+        elif os.environ.get("BENCH_ZKEVM"):
+            result = bench_zkevm()
         elif os.environ.get("BENCH_OUTER"):
             result = bench_outer()
         else:
