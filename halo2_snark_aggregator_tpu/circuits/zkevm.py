@@ -22,7 +22,8 @@ kernels — at a configurable K:
   multiple chunks;
 - one instance column exposing the final chain value.
 
-Defaults give 26 advice columns, 13 gates, 2 lookups, a 9-column permutation
+Defaults give 27 advice columns (3*n_groups + 2 phase-0 plus one phase-1 z
+column), 13 gates, 2 lookups, a 9-column permutation
 — proving at K=16+ reproduces BASELINE.md config 3 (2^16-point MSMs in the
 verifier's instance commitment and multiopen).
 """
@@ -61,8 +62,13 @@ class ZkevmShapeCircuit(Circuit):
         self.n_groups = n_groups
         self.table_bits = table_bits
         # leave headroom for blinding rows of a lookup-bearing circuit
-        self.rows = max((1 << k) - ((1 << k) >> 2) - 32, 8)
-        self.rows = max(self.rows, 1 << table_bits)
+        budget = (1 << k) - ((1 << k) >> 2) - 32
+        if budget < 8 or (1 << table_bits) > budget:
+            raise ValueError(
+                f"infeasible (k={k}, table_bits={table_bits}): the "
+                f"{1 << table_bits}-row lookup tables exceed the {budget}-row "
+                f"usable budget; need k >= {max(table_bits + 1, 7)}")
+        self.rows = budget
         s = (seed * 0x9E3779B9 + 0x243F6A88) & 0xFFFFFFFF
 
         def xorshift():
@@ -175,15 +181,25 @@ class ZkevmShapeCircuit(Circuit):
 
         assigner.copy(config.groups[-1][2], len(rows) - 1, config.instance, 0)
 
-        # phase-1 witness: needs the challenge squeezed after phase 0
+        # RLC fixed selectors are assigned UNCONDITIONALLY: keygen synthesizes
+        # with no challenges, and the committed fixed columns must enable the
+        # gate regardless (a challenge-gated assignment would commit all-zero
+        # selectors, leaving z unconstrained — see shuffle.py's pattern)
+        assigner.assign_fixed(config.q_rlc_first, 0, 1)
+        for i in range(len(rows) - 1):
+            assigner.assign_fixed(config.q_rlc, i, 1)
+
+        # phase-1 witness: needs the challenge squeezed after phase 0.
+        # During keygen / the prover's phase-0 pass get_challenge is None —
+        # fall back to MockProver's challenge constant 1 so its gate check
+        # passes (phase-0 advice for a phase-1 column is discarded by the
+        # prover, so the fallback values never reach a real proof).
         r = assigner.get_challenge(config.r)
         if r is None:
-            return
-        assigner.assign_fixed(config.q_rlc_first, 0, 1)
+            r = 1
         z = 0
         assigner.assign_advice(config.z, 0, z)
         for i in range(len(rows) - 1):
-            assigner.assign_fixed(config.q_rlc, i, 1)
             z = (z * r + self.w_vals[i]) % R
             assigner.assign_advice(config.z, i + 1, z)
 

@@ -121,50 +121,88 @@ def to_affine_ints(p) -> list:
     return out
 
 
+def _stack(rrs, shape):
+    """Stack RR values along a new leading axis (widening to a common
+    bound): turns k independent field ops into ONE batched op instance.
+    XLA compile time scales with instruction count, not data size — the
+    unbatched RCB add (12 separate CIOS mont_muls) dominated every MSM
+    program's compile; wave-batching cuts it ~5x."""
+    bound = max(r.bound for r in rrs)
+    return fr.RR(
+        jnp.stack([
+            jnp.broadcast_to(r.limbs, shape + (fr.NLIMBS,)) for r in rrs
+        ]),
+        bound,
+    )
+
+
+def _parts(rr: fr.RR):
+    return [fr.RR(rr.limbs[i], rr.bound) for i in range(rr.limbs.shape[0])]
+
+
 def add(p, q):
-    """RCB15 Algorithm 7 (a = 0): complete for all inputs."""
+    """RCB15 Algorithm 7 (a = 0): complete for all inputs. The 12 muls run
+    as TWO stacked mont_mul instances (the formula's two dependency waves);
+    b3 scales fold into shared doubling chains."""
     x1, y1, z1 = p
     x2, y2, z2 = q
-    t0 = _mul(x1, x2)
-    t1 = _mul(y1, y2)
-    t2 = _mul(z1, z2)
-    t3 = _mul(_add(x1, y1), _add(x2, y2))
-    t3 = _sub(t3, _add(t0, t1))          # X1Y2 + X2Y1
-    t4 = _mul(_add(y1, z1), _add(y2, z2))
-    t4 = _sub(t4, _add(t1, t2))          # Y1Z2 + Y2Z1
-    x3 = _mul(_add(x1, z1), _add(x2, z2))
-    y3 = _sub(x3, _add(t0, t2))          # X1Z2 + X2Z1
-    x3 = _add(_add(t0, t0), t0)          # 3 X1X2
-    t2b = _b3(t2)                        # b3 Z1Z2
+    shape = jnp.broadcast_shapes(x1.limbs.shape[:-1], x2.limbs.shape[:-1])
+
+    # pre-sums: (x1+y1, y1+z1, x1+z1, x2+y2, y2+z2, x2+z2)
+    s = _add(_stack([x1, y1, x1, x2, y2, x2], shape),
+             _stack([y1, z1, z1, y2, z2, z2], shape))
+    sp = _parts(s)
+    # mul wave 1
+    w1 = _mul(_stack([x1, y1, z1] + sp[:3], shape),
+              _stack([x2, y2, z2] + sp[3:], shape))
+    t0, t1, t2, m3, m4, m5 = _parts(w1)
+    ps = _add(_stack([t0, t1, t0], shape), _stack([t1, t2, t2], shape))
+    t3, t4, y3 = _parts(_sub(_stack([m3, m4, m5], shape), ps))
+    # scale chains: t2b = b3*t2 = 8t2+t2, y3b = b3*y3, x3 = 3t0 = 2t0+t0
+    a1 = _stack([t2, y3, t0], shape)
+    a2 = _add(a1, a1)
+    a4 = _add(a2, a2)
+    a8 = _add(a4, a4)
+    a1p, a2p, a8p = _parts(a1), _parts(a2), _parts(a8)
+    t2b, y3b, x3 = _parts(
+        _add(_stack([a8p[0], a8p[1], a2p[2]], shape), a1))
     z3 = _add(t1, t2b)
-    t1 = _sub(t1, t2b)
-    y3b = _b3(y3)
-    x3_out = _sub(_mul(t3, t1), _mul(t4, y3b))
-    y3_out = _add(_mul(t1, z3), _mul(y3b, x3))
-    z3_out = _add(_mul(z3, t4), _mul(x3, t3))
-    return (x3_out, y3_out, z3_out)
+    t1m = _sub(t1, t2b)
+    # mul wave 2
+    w2 = _mul(_stack([t3, t4, t1m, y3b, z3, x3], shape),
+              _stack([t1m, y3b, z3, x3, t4, t3], shape))
+    w = _parts(w2)
+    x3_out = _sub(w[0], w[1])
+    yz = _parts(_add(_stack([w[2], w[4]], shape), _stack([w[3], w[5]], shape)))
+    return (x3_out, yz[0], yz[1])
 
 
 def double(p):
-    """RCB15 Algorithm 9 (a = 0): complete (identity in, identity out)."""
+    """RCB15 Algorithm 9 (a = 0): complete (identity in, identity out).
+    The 8 muls run as TWO stacked mont_mul instances."""
     x, y, z = p
-    t0 = _mul(y, y)
-    z3 = _add(_add(t0, t0), _add(t0, t0))
-    z3 = _add(z3, z3)                    # 8 Y^2
-    t1 = _mul(y, z)
-    t2 = _b3(_mul(z, z))
-    x3 = _mul(t2, z3)
-    y3 = _add(t0, t2)
-    z3 = _mul(t1, z3)
-    t1 = _add(t2, t2)
-    t2 = _add(t1, t2)
-    t0 = _sub(t0, t2)
-    y3 = _mul(t0, y3)
-    y3 = _add(x3, y3)
-    t1 = _mul(x, y)
-    x3 = _mul(t0, t1)
-    x3 = _add(x3, x3)
-    return (x3, y3, z3)
+    shape = x.limbs.shape[:-1]
+
+    # mul wave 1: y^2, y*z, z^2, x*y
+    w1 = _mul(_stack([y, y, z, x], shape), _stack([y, z, z, y], shape))
+    t0, t1, zz, txy = _parts(w1)
+    # doubling chains: z3a = 8*y^2 and 8*z^2 (for t2 = 9*z^2 = b3*z^2)
+    d1 = _stack([t0, zz], shape)
+    d2 = _add(d1, d1)
+    d4 = _add(d2, d2)
+    d8 = _add(d4, d4)
+    d8p = _parts(d8)
+    z3a = d8p[0]
+    t2 = _add(d8p[1], zz)                # 9 z^2 = b3 z^2
+    y3a = _add(t0, t2)
+    t2x2 = _add(t2, t2)
+    t0b = _sub(t0, _add(t2x2, t2))       # t0 - 3 t2
+    # mul wave 2: x3 = t2*z3a, z3 = t1*z3a, y3m = t0b*y3a, xm = t0b*txy
+    w2 = _mul(_stack([t2, t1, t0b, t0b], shape),
+              _stack([z3a, z3a, y3a, txy], shape))
+    w = _parts(w2)
+    yx = _parts(_add(_stack([w[0], w[3]], shape), _stack([w[2], w[3]], shape)))
+    return (yx[1], yx[0], w[1])
 
 
 def select_point(cond, p, q):

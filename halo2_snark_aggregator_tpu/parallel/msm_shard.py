@@ -83,6 +83,66 @@ def msm_sharded(points, scalars_np: np.ndarray, mesh: Mesh, c: int = 8,
     return acc
 
 
+def msm_sharded_lite(points, scalars_np: np.ndarray, mesh: Mesh, c: int = 4,
+                     axis: str = "shard"):
+    """Compile-lean sharded MSM (ops/msm_lite.py engine): the same shard_map
+    structure as msm_sharded — per-device Pippenger bucket work on the point
+    shard — over the wave-batched canonical engine; the per-device window
+    totals stay points-sharded and are folded/combined on the host (bigints).
+    For CPU-mesh dryruns/tests where compile time on a few-core host
+    dominates (MULTICHIP_r01 rc=124); production uses msm_sharded.
+
+    Returns the affine int point (or None)."""
+    from ..ops import msm_lite
+
+    ndev = mesh.shape[axis]
+    n = scalars_np.shape[0]
+    chunk = n // ndev
+    plans = [
+        msm_mod.host_bucket_plan(scalars_np[d * chunk : (d + 1) * chunk], c)
+        for d in range(ndev)
+    ]
+    order = jnp.asarray(np.stack([p[0] for p in plans]))
+    starts = jnp.asarray(np.stack([p[1] for p in plans]))
+    counts = jnp.asarray(np.stack([p[2] for p in plans]))
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=((P(axis), P(axis), P(axis)), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+    def _sharded(pts, order_l, starts_l, counts_l):
+        totals = msm_lite.msm_windows_lite(
+            pts, order_l[0], starts_l[0], counts_l[0], c=c
+        )
+        return tuple(comp[None] for comp in totals)  # (1, W, 16) per shard
+
+    partials = _sharded(points, order, starts, counts)  # leaves (ndev, W, 16)
+    res = None
+    for d in range(ndev):
+        pd = msm_lite.combine_windows_host_lite(
+            tuple(comp[d] for comp in partials), c)
+        res = pd if res is None else (
+            ff.g1_add(res, pd) if pd is not None else res)
+    return res
+
+
+def msm_sharded_lite_host(points_int, scalars_int, mesh: Mesh, c: int = 4,
+                          axis: str = "shard"):
+    """Host ints in/out for the lite engine; pads to the axis size."""
+    from ..ops import curve_lite as cvl
+
+    ndev = mesh.shape[axis]
+    n = len(points_int)
+    pad = (-n) % ndev
+    pts = list(points_int) + [None] * pad
+    scals = [s % ff.R for s in scalars_int] + [0] * pad
+    jpts = cvl.from_affine_ints(pts)
+    scal_np = fo.ints_to_limbs(scals)
+    return msm_sharded_lite(jpts, scal_np, mesh, c=c, axis=axis)
+
+
 def msm_sharded_host(points_int, scalars_int, mesh: Mesh, c: int = 8,
                      axis: str = "shard"):
     """Host ints in/out; pads N to a multiple of the axis size with identity."""

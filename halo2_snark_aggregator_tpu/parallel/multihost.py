@@ -124,6 +124,10 @@ def msm_hier(points, scalars_np: np.ndarray, mesh: Mesh, c: int = 8):
         mesh=mesh,
         in_specs=((flat, flat, flat), flat, flat, flat),
         out_specs=(P(), P(), P()),
+        # outputs are truly replicated (all_gather over both axes before the
+        # folds) but the conservative vma inference can't prove it through
+        # the wave-batched point adds
+        check_vma=False,
     )
     def _run(pts, order_l, starts_l, counts_l):
         local = msm_mod.msm_planned(
@@ -141,6 +145,62 @@ def msm_hier(points, scalars_np: np.ndarray, mesh: Mesh, c: int = 8):
 
     out = _run(points, order, starts, counts)
     return tuple(frr.RR(limbs, msm_mod.CARRY_BOUND) for limbs in out)
+
+
+def msm_hier_lite(points, scalars_np: np.ndarray, mesh: Mesh, c: int = 4):
+    """Compile-lean hierarchical MSM (ops/msm_lite.py engine): the same
+    two-level collective structure as msm_hier — per-device bucket work,
+    all_gather over the chip (ICI) axis, then all_gather over the host (DCN)
+    axis — over the wave-batched canonical engine. The gathered (ndev, W)
+    window totals are folded with ONE traced point-add instance (a fori_loop
+    over the gathered axis) and window-combined on the host.
+
+    For CPU-mesh dryruns/tests where compile time dominates; production uses
+    msm_hier. Returns the affine int point (or None)."""
+    from ..ops import curve_lite as cvl
+    from ..ops import msm_lite
+
+    nh, nc = mesh.shape[HOST_AXIS], mesh.shape[CHIP_AXIS]
+    ndev = nh * nc
+    n = scalars_np.shape[0]
+    chunk = n // ndev
+    plans = [
+        msm_mod.host_bucket_plan(scalars_np[d * chunk : (d + 1) * chunk], c)
+        for d in range(ndev)
+    ]
+    order = jnp.asarray(np.stack([p[0] for p in plans]))
+    starts = jnp.asarray(np.stack([p[1] for p in plans]))
+    counts = jnp.asarray(np.stack([p[2] for p in plans]))
+
+    flat = P((HOST_AXIS, CHIP_AXIS))
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=((flat, flat, flat), flat, flat, flat),
+        out_specs=(P(), P(), P()),
+        # outputs are truly replicated (all_gather over both axes before the
+        # fold) but the conservative vma inference can't prove it
+        check_vma=False,
+    )
+    def _run(pts, order_l, starts_l, counts_l):
+        local = msm_lite.msm_windows_lite(
+            pts, order_l[0], starts_l[0], counts_l[0], c=c
+        )
+        # ICI: gather the nc chip window-total vectors within this host
+        chip_g = tuple(jax.lax.all_gather(comp, CHIP_AXIS) for comp in local)
+        # DCN: gather the per-host stacks across hosts -> (nh, nc, W, 16)
+        host_g = tuple(jax.lax.all_gather(comp, HOST_AXIS) for comp in chip_g)
+        stacked = tuple(comp.reshape((ndev,) + comp.shape[2:]) for comp in host_g)
+
+        def fold_body(i, acc):
+            return cvl.add(acc, tuple(comp[i] for comp in stacked))
+
+        acc = tuple(comp[0] for comp in stacked)
+        return jax.lax.fori_loop(1, ndev, fold_body, acc)
+
+    totals = _run(points, order, starts, counts)  # replicated (W, 16) triple
+    return msm_lite.combine_windows_host_lite(totals, c)
 
 
 def msm_hier_host(points_int, scalars_int, mesh: Mesh, c: int = 8):

@@ -395,6 +395,9 @@ class VerifyingKey:
             f"na={cs.num_advice_columns}",
             f"ni={cs.num_instance_columns}",
             f"nc={cs.num_challenges}",
+            f"aph={cs.advice_column_phase}",
+            f"cph={cs.challenge_phase}",
+            f"mind={cs.minimum_degree}",
             f"fq={cs.fixed_queries}",
             f"aq={cs.advice_queries}",
             f"iq={cs.instance_queries}",

@@ -130,7 +130,9 @@ def main(argv=None):
         # uses this transcript once the aggregation circuit lands)
         from ..prover.prove import create_proof
         from ..solidity.generate import generate
-        from ..solidity.render import render
+        from ..solidity.packed import encode as encode_packed
+        from ..solidity.render import render, render_packed
+        from ..solidity.syntax import check_solidity
         from ..transcript.host import ShaWrite
         from ..circuits.simple import SimpleMulCircuit as _C
 
@@ -141,9 +143,18 @@ def main(argv=None):
         proof = create_proof(pk, params, [circuit], [instances], ShaWrite(), seed=0)
         gen = generate(vk, params, proof, instances)
         assert gen.pairing_ok
-        store.write_solidity(render(gen, params))
+        src = render(gen, params)
+        check_solidity(src)
+        store.write_solidity(src)
+        src_packed = render_packed(gen, params)
+        check_solidity(src_packed)
+        store.write_solidity(src_packed, "verifier_packed.sol")
+        prog = encode_packed(gen)
         print(f"verifier.sol written ({gen.transcript_words} proof words, "
-              f"{len(gen.cg.statements)} statements)")
+              f"{len(gen.cg.statements)} statements); verifier_packed.sol "
+              f"written ({len(prog.ops)}B opcode blob + "
+              f"{32 * len(prog.cpool)}B constant pool, memory_size "
+              f"{prog.memory_size})")
     return 0
 
 

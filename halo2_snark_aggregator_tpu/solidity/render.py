@@ -20,6 +20,92 @@ from ..ff import bn254 as ff
 from .generate import GeneratedVerifier
 from .ir import Expr
 from .linear_scan import allocate_slots
+from .packed import OPS as _PACKED_OPS, PackedProgram, encode as _encode_packed
+
+
+_SOL_HELPERS = """    function digest_to_fr(bytes32 d) internal pure returns (uint256 v) {
+        // little-endian interpretation reduced mod r (Rust from_bytes_wide)
+        for (uint256 i = 0; i < 32; i++) {
+            v = (v << 8) | uint256(uint8(d[31 - i]));
+        }
+        v = v % R_MOD;
+    }
+
+    function fr_invert(uint256 a) internal view returns (uint256 result) {
+        bool success;
+        assembly {
+            let mPtr := mload(0x40)
+            mstore(mPtr, 0x20)
+            mstore(add(mPtr, 0x20), 0x20)
+            mstore(add(mPtr, 0x40), 0x20)
+            mstore(add(mPtr, 0x60), a)
+            mstore(add(mPtr, 0x80), sub(R_MOD, 2))
+            mstore(add(mPtr, 0xa0), R_MOD)
+            success := staticcall(gas(), 0x05, mPtr, 0xc0, 0x00, 0x20)
+            result := mload(0x00)
+        }
+        require(success, "modexp failed");
+    }
+
+    function ecc_add(uint256 ax, uint256 ay, uint256 bx, uint256 by)
+        internal view returns (uint256 cx, uint256 cy)
+    {
+        bool success;
+        assembly {
+            let mPtr := mload(0x40)
+            mstore(mPtr, ax)
+            mstore(add(mPtr, 0x20), ay)
+            mstore(add(mPtr, 0x40), bx)
+            mstore(add(mPtr, 0x60), by)
+            success := staticcall(gas(), 0x06, mPtr, 0x80, 0x00, 0x40)
+            cx := mload(0x00)
+            cy := mload(0x20)
+        }
+        require(success, "ec add failed");
+    }
+
+    function ecc_mul(uint256 px, uint256 py, uint256 s)
+        internal view returns (uint256 cx, uint256 cy)
+    {
+        bool success;
+        assembly {
+            let mPtr := mload(0x40)
+            mstore(mPtr, px)
+            mstore(add(mPtr, 0x20), py)
+            mstore(add(mPtr, 0x40), s)
+            success := staticcall(gas(), 0x07, mPtr, 0x60, 0x00, 0x40)
+            cx := mload(0x00)
+            cy := mload(0x20)
+        }
+        require(success, "ec mul failed");
+    }"""
+
+
+def _sol_pairing(sg2, ng2) -> str:
+    return f"""    function pairing_check(uint256 wx_x, uint256 wx_y, uint256 wg_x, uint256 wg_y)
+        internal view returns (bool)
+    {{
+        uint256[12] memory input;
+        input[0] = wx_x;
+        input[1] = wx_y;
+        input[2] = {sg2[0].c1};  // [s]G2 x.c1
+        input[3] = {sg2[0].c0};  // [s]G2 x.c0
+        input[4] = {sg2[1].c1};  // [s]G2 y.c1
+        input[5] = {sg2[1].c0};  // [s]G2 y.c0
+        input[6] = wg_x;
+        input[7] = wg_y;
+        input[8] = {ng2[0].c1};  // -G2 x.c1
+        input[9] = {ng2[0].c0};  // -G2 x.c0
+        input[10] = {ng2[1].c1}; // -G2 y.c1
+        input[11] = {ng2[1].c0}; // -G2 y.c0
+        uint256[1] memory out;
+        bool success;
+        assembly {{
+            success := staticcall(gas(), 0x08, input, 0x180, out, 0x20)
+        }}
+        require(success, "pairing failed");
+        return out[0] == 1;
+    }}"""
 
 
 def _fmt(e: Expr, slot_of) -> str:
@@ -30,6 +116,190 @@ def _fmt(e: Expr, slot_of) -> str:
     if e.kind == "instance":
         return f"instances[{e.value}]"
     return f"m[{slot_of[e.value]}]"
+
+
+def render_packed(gen: GeneratedVerifier, params) -> str:
+    """Packed-opcode contract (reference D8's update()-interpreter design,
+    ctx.rs:344-365): the whole statement list ships as a `bytes constant`
+    opcode blob (+ a 32-byte-word constant pool) executed by an in-contract
+    interpreter loop, so `get_wx_wg` code size grows ~7 bytes per statement
+    instead of ~40-80 bytes of compiled direct code — the difference between
+    fitting the 24,576-byte EVM limit or not for a real k>=22 outer
+    verifier. Bit-exact against solidity/packed.run_packed (tested)."""
+    prog = _encode_packed(gen)
+    ops_hex = prog.ops.hex()
+    cpool_hex = "".join(v.to_bytes(32, "big").hex() for v in prog.cpool)
+    o = prog.out_operands
+    sg2 = params.s_g2
+    ng2 = ff.g2_neg(params.g2)
+
+    return f"""// SPDX-License-Identifier: MIT
+// Auto-generated halo2 aggregation verifier (halo2-snark-aggregator-tpu,
+// packed-opcode interpreter backend).
+pragma solidity ^0.8.0;
+
+contract Verifier {{
+    uint256 constant Q_MOD = {ff.P};
+    uint256 constant R_MOD = {ff.R};
+
+    // opcode stream: op(1B) | dest slots(2B each) | operands(2B: 2-bit kind
+    // mem/proof/instance/cpool + 14-bit index) | immediates(2B)
+    bytes constant OPS = hex"{ops_hex}";
+    // constant pool: 32-byte big-endian words
+    bytes constant CPOOL = hex"{cpool_hex}";
+
+{_SOL_HELPERS}
+
+    function ru16(bytes memory b, uint256 i) private pure returns (uint256) {{
+        return (uint256(uint8(b[i])) << 8) | uint256(uint8(b[i + 1]));
+    }}
+
+    function cword(bytes memory cpool, uint256 idx)
+        private pure returns (uint256 v)
+    {{
+        assembly {{ v := mload(add(add(cpool, 32), mul(idx, 32))) }}
+    }}
+
+    function ld(
+        uint256 o,
+        uint256[] calldata proof,
+        uint256[] calldata instances,
+        uint256[{prog.memory_size}] memory m,
+        bytes memory cpool
+    ) private pure returns (uint256 v) {{
+        uint256 kind = o >> 14;
+        uint256 idx = o & 0x3fff;
+        if (kind == 0) v = m[idx];
+        else if (kind == 1) v = proof[idx];
+        else if (kind == 2) v = instances[idx];
+        else v = cword(cpool, idx);
+    }}
+
+    function get_wx_wg(uint256[] calldata proof, uint256[] calldata instances)
+        internal view returns (uint256, uint256, uint256, uint256)
+    {{
+        uint256[{prog.memory_size}] memory m;
+        bytes memory ops = OPS;
+        bytes memory cpool = CPOOL;
+        bytes memory buf;
+        uint256 pc = 0;
+        while (pc < ops.length) {{
+            uint256 op = uint8(ops[pc]); pc += 1;
+            if (op <= 6) {{
+                uint256 d = ru16(ops, pc); pc += 2;
+                uint256 a = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                uint256 b = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                if (op == 1) m[d] = addmod(a, b, R_MOD);
+                else if (op == 2) m[d] = addmod(a, R_MOD - (b % R_MOD), R_MOD);
+                else if (op == 3) m[d] = mulmod(a, b, R_MOD);
+                else if (op == 4) m[d] = mulmod(a, fr_invert(b), R_MOD);
+                else {{
+                    uint256 c = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                    if (op == 5) m[d] = addmod(mulmod(a, b, R_MOD), c, R_MOD);
+                    else m[d] = addmod(mulmod(a, b, R_MOD), R_MOD - (c % R_MOD), R_MOD);
+                }}
+            }} else if (op == 7) {{
+                uint256 dx = ru16(ops, pc); pc += 2;
+                uint256 dy = ru16(ops, pc); pc += 2;
+                uint256 ax = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                uint256 ay = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                uint256 bx = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                uint256 by = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                (m[dx], m[dy]) = ecc_add(ax, ay, bx, by);
+            }} else if (op == 8) {{
+                uint256 dx = ru16(ops, pc); pc += 2;
+                uint256 dy = ru16(ops, pc); pc += 2;
+                uint256 ax = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                uint256 ay = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                m[dx] = ax;
+                m[dy] = ay == 0 ? 0 : Q_MOD - ay;
+            }} else if (op == 9) {{
+                uint256 dx = ru16(ops, pc); pc += 2;
+                uint256 dy = ru16(ops, pc); pc += 2;
+                uint256 px = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                uint256 py = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                uint256 s = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                (m[dx], m[dy]) = ecc_mul(px, py, s);
+            }} else if (op == 10) {{
+                uint256 d = ru16(ops, pc); pc += 2;
+                uint256 acc = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                uint256 n = ru16(ops, pc); pc += 2;
+                for (uint256 i = 0; i < n; i++) {{ acc = mulmod(acc, acc, R_MOD); }}
+                m[d] = acc;
+            }} else if (op == 11) {{
+                uint256 d = ru16(ops, pc); pc += 2;
+                uint256 acc = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                uint256 v = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                uint256 packed = cword(cpool, ru16(ops, pc)); pc += 2;
+                uint256 n = ru16(ops, pc); pc += 2;
+                for (uint256 i = 0; i < n; i++) {{
+                    acc = addmod(mulmod(acc, v, R_MOD),
+                                 proof[(packed >> (16 * i)) & 0xffff], R_MOD);
+                }}
+                m[d] = acc;
+            }} else if (op == 12) {{
+                uint256 d = ru16(ops, pc); pc += 2;
+                uint256 acc = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                uint256 pt = cword(cpool, ru16(ops, pc)); pc += 2;
+                uint256 pm = cword(cpool, ru16(ops, pc)); pc += 2;
+                uint256 n = ru16(ops, pc); pc += 2;
+                for (uint256 i = 0; i < n; i++) {{
+                    acc = addmod(acc, mulmod(m[(pm >> (16 * i)) & 0xffff],
+                                 proof[(pt >> (16 * i)) & 0xffff], R_MOD), R_MOD);
+                }}
+                m[d] = acc;
+            }} else if (op == 13) {{
+                uint256 start = ru16(ops, pc); pc += 2;
+                uint256 n = ru16(ops, pc); pc += 2;
+                for (uint256 i = 0; i < n; i++) {{
+                    buf = abi.encodePacked(buf, bytes31(0), uint8(1),
+                        proof[start + 2 * i], proof[start + 2 * i + 1]);
+                }}
+            }} else if (op == 14) {{
+                uint256 start = ru16(ops, pc); pc += 2;
+                uint256 n = ru16(ops, pc); pc += 2;
+                for (uint256 i = 0; i < n; i++) {{
+                    buf = abi.encodePacked(buf, bytes31(0), uint8(2),
+                        proof[start + i]);
+                }}
+            }} else if (op == 15) {{
+                uint256 a = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                buf = abi.encodePacked(buf, bytes31(0), uint8(2), a);
+            }} else if (op == 16) {{
+                uint256 x = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                uint256 y = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                buf = abi.encodePacked(buf, bytes31(0), uint8(1), x, y);
+            }} else if (op == 17) {{
+                uint256 d = ru16(ops, pc); pc += 2;
+                buf = abi.encodePacked(buf, uint8(0));
+                bytes32 dg = sha256(buf);
+                buf = abi.encodePacked(dg);
+                m[d] = digest_to_fr(dg);
+            }} else {{
+                revert("bad opcode");
+            }}
+        }}
+        return (
+            ld({o[0]}, proof, instances, m, cpool),
+            ld({o[1]}, proof, instances, m, cpool),
+            ld({o[2]}, proof, instances, m, cpool),
+            ld({o[3]}, proof, instances, m, cpool)
+        );
+    }}
+
+{_sol_pairing(sg2, ng2)}
+
+    function verify(uint256[] calldata proof, uint256[] calldata instances)
+        public view returns (bool)
+    {{
+        require(proof.length == {prog.transcript_words}, "bad proof length");
+        require(instances.length == {prog.instance_words}, "bad instance length");
+        (uint256 wx_x, uint256 wx_y, uint256 wg_x, uint256 wg_y) =
+            get_wx_wg(proof, instances);
+        return pairing_check(wx_x, wx_y, wg_x, wg_y);
+    }}
+}}
+"""
 
 
 def render(gen: GeneratedVerifier, params) -> str:
@@ -137,87 +407,9 @@ contract Verifier {{
     uint256 constant Q_MOD = {ff.P};
     uint256 constant R_MOD = {ff.R};
 
-    function digest_to_fr(bytes32 d) internal pure returns (uint256 v) {{
-        // little-endian interpretation reduced mod r (Rust from_bytes_wide)
-        for (uint256 i = 0; i < 32; i++) {{
-            v = (v << 8) | uint256(uint8(d[31 - i]));
-        }}
-        v = v % R_MOD;
-    }}
+{_SOL_HELPERS}
 
-    function fr_invert(uint256 a) internal view returns (uint256 result) {{
-        bool success;
-        assembly {{
-            let mPtr := mload(0x40)
-            mstore(mPtr, 0x20)
-            mstore(add(mPtr, 0x20), 0x20)
-            mstore(add(mPtr, 0x40), 0x20)
-            mstore(add(mPtr, 0x60), a)
-            mstore(add(mPtr, 0x80), sub(R_MOD, 2))
-            mstore(add(mPtr, 0xa0), R_MOD)
-            success := staticcall(gas(), 0x05, mPtr, 0xc0, 0x00, 0x20)
-            result := mload(0x00)
-        }}
-        require(success, "modexp failed");
-    }}
-
-    function ecc_add(uint256 ax, uint256 ay, uint256 bx, uint256 by)
-        internal view returns (uint256 cx, uint256 cy)
-    {{
-        bool success;
-        assembly {{
-            let mPtr := mload(0x40)
-            mstore(mPtr, ax)
-            mstore(add(mPtr, 0x20), ay)
-            mstore(add(mPtr, 0x40), bx)
-            mstore(add(mPtr, 0x60), by)
-            success := staticcall(gas(), 0x06, mPtr, 0x80, 0x00, 0x40)
-            cx := mload(0x00)
-            cy := mload(0x20)
-        }}
-        require(success, "ec add failed");
-    }}
-
-    function ecc_mul(uint256 px, uint256 py, uint256 s)
-        internal view returns (uint256 cx, uint256 cy)
-    {{
-        bool success;
-        assembly {{
-            let mPtr := mload(0x40)
-            mstore(mPtr, px)
-            mstore(add(mPtr, 0x20), py)
-            mstore(add(mPtr, 0x40), s)
-            success := staticcall(gas(), 0x07, mPtr, 0x60, 0x00, 0x40)
-            cx := mload(0x00)
-            cy := mload(0x20)
-        }}
-        require(success, "ec mul failed");
-    }}
-
-    function pairing_check(uint256 wx_x, uint256 wx_y, uint256 wg_x, uint256 wg_y)
-        internal view returns (bool)
-    {{
-        uint256[12] memory input;
-        input[0] = wx_x;
-        input[1] = wx_y;
-        input[2] = {sg2[0].c1};  // [s]G2 x.c1
-        input[3] = {sg2[0].c0};  // [s]G2 x.c0
-        input[4] = {sg2[1].c1};  // [s]G2 y.c1
-        input[5] = {sg2[1].c0};  // [s]G2 y.c0
-        input[6] = wg_x;
-        input[7] = wg_y;
-        input[8] = {ng2[0].c1};  // -G2 x.c1
-        input[9] = {ng2[0].c0};  // -G2 x.c0
-        input[10] = {ng2[1].c1}; // -G2 y.c1
-        input[11] = {ng2[1].c0}; // -G2 y.c0
-        uint256[1] memory out;
-        bool success;
-        assembly {{
-            success := staticcall(gas(), 0x08, input, 0x180, out, 0x20)
-        }}
-        require(success, "pairing failed");
-        return out[0] == 1;
-    }}
+{_sol_pairing(sg2, ng2)}
 
     function verify(uint256[] calldata proof, uint256[] calldata instances)
         public view returns (bool)

@@ -98,5 +98,5 @@ class FolderStore:
     def read_final_pair(self):
         return self.read_obj("verify_circuit_final_pair.data")
 
-    def write_solidity(self, source: str):
-        self._path("verifier.sol").write_text(source)
+    def write_solidity(self, source: str, name: str = "verifier.sol"):
+        self._path(name).write_text(source)

@@ -29,3 +29,44 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
 # limb-kernel shapes; on a few-core box each 0.5-2s compile adds up across
 # sessions while staying under the old 2s persistence threshold
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
+# ---------------------------------------------------------------------------
+# Test tiers: `pytest -m "not kernels"` is the fast host tier (green in
+# ~2 min cold on 4 CPUs); the `kernels` tier holds every compile-heavy
+# device-kernel test (large XLA modules; minutes cold, cache-backed after).
+# ---------------------------------------------------------------------------
+
+_KERNEL_TEST_FILES = {
+    "test_field_rr.py",
+    "test_field_pallas.py",
+    "test_field_ops.py",
+    "test_poseidon_rr.py",
+    "test_poseidon_pallas.py",
+    "test_poseidon_ops.py",
+    "test_curve_msm.py",
+    "test_msm_sharded.py",
+    "test_msm_multihost.py",
+    "test_ntt_ops.py",
+    "test_ntt_pallas.py",
+    "test_ntt_sharded.py",
+    "test_accel_prover.py",
+    "test_batched_verifier.py",
+    "test_tape.py",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "kernels: compile-heavy device-kernel tests (run with -m kernels; "
+        "excluded from the fast tier via -m 'not kernels')",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.fspath.basename in _KERNEL_TEST_FILES:
+            item.add_marker(pytest.mark.kernels)

@@ -15,3 +15,41 @@ def test_msm_sharded_matches_oracle():
     mesh = make_mesh(8)
     got = msm_sharded_host(pts, scalars, mesh, c=4)
     assert got == expected
+
+
+def test_msm_sharded_lite_matches_oracle():
+    """Compile-lean engine (ops/msm_lite + curve_lite) differential test:
+    full-width random scalars, identity padding, vs the host oracle."""
+    from halo2_snark_aggregator_tpu.parallel.msm_shard import (
+        msm_sharded_lite_host,
+    )
+
+    rng = random.Random(3)
+    n = 41
+    pts = [ff.g1_mul(ff.G1_GEN, rng.randrange(1, ff.R)) for _ in range(n)]
+    scalars = [rng.randrange(ff.R) for _ in range(n)]
+    expected = ff.g1_msm(pts, scalars)
+    mesh = make_mesh(8)
+    got = msm_sharded_lite_host(pts, scalars, mesh, c=4)
+    assert got == expected
+
+
+def test_curve_lite_add_complete_cases():
+    """RCB completeness over the wave-batched canonical engine: P+Q, P+P,
+    P+(-P), P+O, O+O, all in one batched add call."""
+    import numpy as np
+
+    from halo2_snark_aggregator_tpu.ops import curve_lite as cvl
+
+    P1 = ff.g1_mul(ff.G1_GEN, 7)
+    P2 = ff.g1_mul(ff.G1_GEN, 11)
+    negP1 = (P1[0], (-P1[1]) % ff.P)
+    lhs = cvl.from_affine_ints([P1, P1, P1, P1, None])
+    rhs = cvl.from_affine_ints([P2, P1, negP1, None, None])
+    out = cvl.add(lhs, rhs)
+    got = cvl.to_affine_ints(out)
+    assert got[0] == ff.g1_add(P1, P2)
+    assert got[1] == ff.g1_double(P1)
+    assert got[2] is None
+    assert got[3] == P1
+    assert got[4] is None

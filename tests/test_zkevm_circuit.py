@@ -93,3 +93,44 @@ def test_zkevm_shape_aggregates_two_proofs(setup):
         ctx, nchip, schip, pchip, [cp], agg_t)
     assert ok
     assert len(commits) == 2
+
+
+def test_zkevm_corrupted_z_fails(setup):
+    """The RLC gate must actually constrain the phase-1 z column: a proof
+    whose z witness is corrupted (all selectors honest) must NOT verify.
+    Regression for the vacuous-gate bug where q_rlc/q_rlc_first were only
+    assigned after the challenge check, committing all-zero selectors."""
+    params, vk, pk = setup
+
+    class BadZ(ZkevmShapeCircuit):
+        def synthesize(self, config, assigner):
+            super().synthesize(config, assigner)
+            r = assigner.get_challenge(config.r)
+            if r is not None and r != 1:  # only corrupt the real phase-1 pass
+                assigner.assign_advice(config.z, 2, 0xDEAD)
+
+    c = BadZ(k=K, seed=5, n_groups=N_GROUPS, table_bits=TABLE_BITS)
+    try:
+        proof = create_proof(pk, params, [c], [c.instances()], PoseidonWrite(),
+                             seed=4)
+    except ValueError:
+        # the exact quotient division already rejects the unsatisfied gate —
+        # with the vacuous selectors this proof was created (and verified)
+        return
+    ctx = ValueContext()
+    pchip = ValueEccChip()
+    nchip = schip = pchip.scalar_chip
+    t = PoseidonTranscriptRead(proof, ctx, nchip)
+    cp = pv.CircuitProof(
+        name="zkevm", vk=vk, params=params,
+        proofs=[pv.ProofData(instances=[c.instances()], transcript=t,
+                             key="p0")])
+    *_, ok = pv.verify_single_proof_in_chip(ctx, nchip, schip, pchip, cp)
+    assert not ok
+
+
+def test_zkevm_infeasible_config_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="infeasible"):
+        ZkevmShapeCircuit(k=8, seed=1, table_bits=8)
