@@ -28,34 +28,48 @@ def _configure_jax():
 
 
 def bench_msm():
-    import jax
-
+    """Raw Pippenger MSM throughput (BASELINE.md axis 2: points/s at
+    2^16-2^22). Times the full production path end-to-end — host bucket
+    plan + device bucket phases + host materialization — using the
+    size-appropriate pipeline: the log-depth segmented-scan path for
+    verifier-size N, the bounded staged accumulate for commit-size N
+    (a single minutes-long XLA program gets the axon worker killed)."""
     _configure_jax()
+
+    import numpy as np
 
     from halo2_snark_aggregator_tpu.ops import msm as msm_mod
     from __graft_entry__ import _example_msm_inputs
 
     n = int(os.environ.get("BENCH_MSM_SIZE", "65536"))
+    c = int(os.environ.get("BENCH_MSM_C", "8"))
     jpts, jscal = _example_msm_inputs(n)
-    import numpy as np
+    scal_np = np.asarray(jscal)
 
-    def materialize(out):
-        # NOTE: on the axon backend block_until_ready does not wait; force
-        # completion by materializing to host
-        return [np.asarray(comp.limbs) for comp in out]
+    # the log-depth segmented-scan path gathers a (W, N) point working set
+    # (~24G HBM at 2^16 on v5e — OOM); it is the latency winner only at
+    # verifier-size N. Commit-size N uses the load-balanced split plan
+    # (bounded accumulate depth for any scalar distribution).
+    if n <= (1 << 13):
+        def run():
+            return msm_mod.msm_fast(jpts, scal_np, c=c)  # host-finished
+    else:
+        target = int(os.environ.get("BENCH_MSM_TARGET", "128"))
 
-    fn = jax.jit(lambda p, s: msm_mod.msm(p, s, c=8))
-    materialize(fn(jpts, jscal))  # compile
+        def run():
+            return msm_mod.msm_staged_split(jpts, scal_np, c=c, target=target)
+
+    run()  # compile
     t0 = time.time()
-    reps = 3
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     for _ in range(reps):
-        materialize(fn(jpts, jscal))
+        run()
     dt = (time.time() - t0) / reps
     pts_per_s = n / dt
     return {
         "metric": "bn254_msm_points_per_sec",
         "value": round(pts_per_s, 1),
-        "unit": f"points/s (2^{n.bit_length()-1} MSM, 1 chip)",
+        "unit": f"points/s (2^{n.bit_length()-1} MSM, c={c}, 1 chip)",
         "vs_baseline": round(pts_per_s / 1.0e6, 4),  # vs 1M pts/s working target
     }
 
@@ -278,6 +292,90 @@ def bench_zkevm():
     }
 
 
+def _cached_zkevm_proofs(k: int, nproofs: int, n_groups: int = 8):
+    """Prove (or load cached) zkevm-shape proofs with the TPU-accelerated
+    prover; returns (params, vk, [(proof_bytes, instances)])."""
+    import hashlib
+    import pickle
+
+    from halo2_snark_aggregator_tpu.circuits.zkevm import ZkevmShapeCircuit
+    from halo2_snark_aggregator_tpu.prover.accel import (
+        create_proof_accel,
+        keygen_accel,
+    )
+    from halo2_snark_aggregator_tpu.prover.srs import setup_cached_accel
+    from halo2_snark_aggregator_tpu.transcript.host import PoseidonWrite
+
+    params = setup_cached_accel(k)
+    circuit = ZkevmShapeCircuit(k=k, seed=1, n_groups=n_groups)
+    vk, apk = keygen_accel(circuit, k, params)
+
+    cache = f"/tmp/bench_zkevm_proofs_k{k}_n{nproofs}.pkl"
+    fp = hashlib.sha256(str(vk.transcript_repr()).encode()).hexdigest()[:16]
+    proofs = None
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            tag, proofs = pickle.load(f)
+        if tag != fp:
+            proofs = None
+    if proofs is None:
+        proofs = []
+        for i in range(nproofs):
+            c = ZkevmShapeCircuit(k=k, seed=2 + i, n_groups=n_groups)
+            t0 = time.time()
+            proofs.append(
+                (create_proof_accel(apk, params, [c], [c.instances()],
+                                    PoseidonWrite(), seed=i),
+                 c.instances()))
+            print(f"proved zkevm-shape K={k} proof {i + 1}/{nproofs} "
+                  f"in {time.time() - t0:.1f}s", file=sys.stderr)
+        with open(cache, "wb") as f:
+            pickle.dump((fp, proofs), f)
+    return params, vk, proofs
+
+
+def bench_zkevm_batched():
+    """DEFAULT headline: fully-traced batched verification of zkevm-shape
+    proofs at K>=16 — phase A (tape: transcript replay + challenge
+    derivation + folded coefficients for all lanes) and phase B (flattened
+    lambda-RLC Pippenger MSM) run as jitted device programs; only the
+    aggregation-transcript squeeze and the final pairing stay on host
+    (verify.rs:909-941 semantics). Honest accelerator number: the K=6
+    host-C++ hybrid of round 1 never dispatched to device."""
+    import jax
+
+    _configure_jax()
+    from halo2_snark_aggregator_tpu.protocol.batched import BatchedVerifier
+
+    k = int(os.environ.get("ZKEVM_K", "16"))
+    nproofs = int(os.environ.get("ZKEVM_NPROOFS", "32"))
+    params, vk, proofs = _cached_zkevm_proofs(k, nproofs)
+    proof_bytes = [p for p, _ in proofs]
+    insts = [i for _, i in proofs]
+
+    platform = jax.devices()[0].platform
+    bv = BatchedVerifier(vk, params, batch=nproofs, sample_proof=proof_bytes[0],
+                         sample_instances=insts[0])
+    print(f"batched verifier: {len(bv.tape.records)} tape records, "
+          f"{sum(len(e) for e, _ in bv.msm_plans)} MSM entries/lane, "
+          f"batch {nproofs}, device platform {platform}", file=sys.stderr)
+    *_pair, ok = bv.verify(proof_bytes, insts)  # warm (compiles phases A+B)
+    assert ok
+    t0 = time.time()
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    for _ in range(reps):
+        *_pair, ok = bv.verify(proof_bytes, insts)
+        assert ok
+    dt = (time.time() - t0) / reps
+    return {
+        "metric": "zkevm_shape_proofs_verified_per_sec",
+        "value": round(nproofs / dt, 3),
+        "unit": (f"proofs/s (batched-traced zkevm-shape K={k}, batch "
+                 f"{nproofs}, phases A+B on {platform}, incl. pairing)"),
+        "vs_baseline": round(nproofs / dt / 32.0, 4),
+    }
+
+
 def bench_outer():
     """Outer aggregation proof wall-clock (the reference's zkevm-bench
     analog: MultiCircuitsCreateProof at aggregator k — TPU-accelerated
@@ -371,8 +469,10 @@ if __name__ == "__main__":
             result = bench_zkevm()
         elif os.environ.get("BENCH_OUTER"):
             result = bench_outer()
-        else:
+        elif os.environ.get("BENCH_HYBRID"):
             result = bench_aggregation()
+        else:
+            result = bench_zkevm_batched()
     except Exception as exc:  # TPU worker faults must not lose the datapoint
         if os.environ.get("BENCH_NO_FALLBACK"):
             raise

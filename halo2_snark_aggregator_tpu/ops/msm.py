@@ -105,6 +105,105 @@ def host_bucket_plan(scalars_np: np.ndarray, c: int):
     return order, starts, counts
 
 
+def host_bucket_plan_split(scalars_np: np.ndarray, c: int,
+                           target: int | None = None):
+    """Load-balanced bucket plan: like host_bucket_plan, but any window whose
+    max bucket load exceeds `target` is split into several accumulator ROWS
+    (equal ranges of its digit-sorted point list), each carrying the window's
+    weight. The accumulate phase's serial depth becomes ~target regardless of
+    the scalar distribution — the plain plan degrades badly whenever digits
+    are skewed (the TOP window of a 254-bit scalar has only a few meaningful
+    bits, so its 2^c buckets collapse onto a handful: measured max_load
+    20635 at c=12 / N=2^16 vs the ~16 a uniform window would give).
+
+    Returns (order (R, L), starts (R, B), counts (R, B), weights (R,)) where
+    weights[r] is the window index of row r; combine with
+    combine_rows_host(totals, weights, c). L pads rows to the longest range
+    (padded positions have counts masking them off).
+    """
+    n = scalars_np.shape[0]
+    if target is None:
+        # ~half the uniform per-bucket load: halves the trip count while
+        # keeping row count (VPU batch width) moderate
+        target = max(64, (n >> c) // 2)
+    base_order, base_starts, base_counts = host_bucket_plan(scalars_np, c)
+    windows = base_order.shape[0]
+
+    # per-BUCKET segment split: row r of window w holds points
+    # [start_b + r*target, start_b + min((r+1)*target, count_b)) of every
+    # bucket b, so every (row, bucket) load is <= target exactly; all rows
+    # of a window share its sorted order array
+    rows_order, rows_starts, rows_counts, weights = [], [], [], []
+    for w in range(windows):
+        maxc = int(base_counts[w].max()) if base_counts[w].size else 0
+        nrows = max(1, -(-maxc // target))
+        b_start = base_starts[w].astype(np.int64)
+        b_count = base_counts[w].astype(np.int64)
+        for r in range(nrows):
+            off = r * target
+            cnt = np.clip(b_count - off, 0, target)
+            rows_order.append(base_order[w])
+            rows_starts.append((b_start + off).astype(np.int32))
+            rows_counts.append(cnt.astype(np.int32))
+            weights.append(w)
+
+    order = np.stack(rows_order)
+    starts = np.stack(rows_starts)
+    counts = np.stack(rows_counts)
+    return order, starts, counts, np.asarray(weights, dtype=np.int32)
+
+
+def combine_rows_host(totals, weights: np.ndarray, c: int):
+    """Host finish for a split plan: totals is the (R,) projective RR row
+    totals; result = sum_r 2^(c*weights[r]) * T_r (rows of one window share
+    the weight). ~256 bigint doublings + R additions."""
+    host = tuple(fr.RR(np.asarray(comp.limbs), comp.bound) for comp in totals)
+    pts = cv.to_affine_ints(host)
+    by_w: dict[int, object] = {}
+    for r, pt in enumerate(pts):
+        w = int(weights[r])
+        cur = by_w.get(w)
+        by_w[w] = pt if cur is None else ff.g1_add(cur, pt)
+    # Horner over window index, highest first
+    res = None
+    prev_w = None
+    for w in sorted(by_w, reverse=True):
+        if res is None:
+            res = by_w[w]
+        else:
+            for _ in range(c * (prev_w - w)):
+                res = ff.g1_double(res)
+            res = ff.g1_add(res, by_w[w])
+        prev_w = w
+    if res is not None and prev_w is not None and prev_w > 0:
+        for _ in range(c * prev_w):
+            res = ff.g1_double(res)
+    return res
+
+
+def msm_staged_split(points, scalars, c: int = 8, trips: int = 256,
+                     target: int | None = None):
+    """Load-balanced staged MSM: split bucket plan -> bounded accumulate
+    dispatches -> log-depth bucket reduce -> host window combine. The right
+    default for commit-size N on the real chip: serial depth ~target for
+    ANY scalar distribution, all phases restartable dispatches."""
+    order_np, starts_np, counts_np, weights = host_bucket_plan_split(
+        np.asarray(scalars), c, target)
+    max_load = int(counts_np.max()) if counts_np.size else 0
+    order = jnp.asarray(order_np)
+    starts = jnp.asarray(starts_np)
+    counts = jnp.asarray(counts_np)
+    acc = _accum_init(points[0], np.zeros(counts_np.shape))
+    t = 0
+    while t < max_load:
+        step = min(trips, max_load - t)
+        acc = _accum_steps(points, order, starts, counts, acc,
+                           jnp.int32(t), step)
+        t += step
+    totals = bucket_reduce_logdepth(acc, c=c)
+    return combine_rows_host(totals, weights, c)
+
+
 def _bucket_accumulate(points, order, starts, counts, c: int):
     px, py, pz = points
     n = px.limbs.shape[0]

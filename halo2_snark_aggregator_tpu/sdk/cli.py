@@ -72,6 +72,11 @@ def main(argv=None):
     parser.add_argument("--agg-k", type=int, default=22,
                         help="aggregation-circuit size (reference k=22, "
                              "simple-example.rs:361-363)")
+    parser.add_argument("--algo", choices=["sha256", "keccak256"],
+                        default="sha256",
+                        help="verify_solidity transcript hash: sha256 "
+                             "precompile or the native keccak256 opcode "
+                             "(reference codegen.rs:19-37)")
     parser.add_argument("--transcript", choices=["sha", "poseidon"],
                         default="sha",
                         help="outer-proof transcript flavor (poseidon feeds "
@@ -140,8 +145,9 @@ def main(argv=None):
         vk, pk = store.read_target_vkey(spec.name)
         circuit = spec.circuit_builder(1)
         instances = spec.instance_builder(circuit)
-        proof = create_proof(pk, params, [circuit], [instances], ShaWrite(), seed=0)
-        gen = generate(vk, params, proof, instances)
+        proof = create_proof(pk, params, [circuit], [instances],
+                             ShaWrite(args.algo), seed=0)
+        gen = generate(vk, params, proof, instances, algo=args.algo)
         assert gen.pairing_ok
         src = render(gen, params)
         check_solidity(src)

@@ -26,6 +26,7 @@ class GeneratedVerifier:
     instance_words: int
     transcript_words: int
     pairing_ok: bool
+    algo: str = "sha256"
 
 
 def generate(vk, params, proof: bytes, instances: list[list[int]],
@@ -72,4 +73,5 @@ def generate(vk, params, proof: bytes, instances: list[list[int]],
         instance_words=cg.instance_words,
         transcript_words=cg.transcript_words,
         pairing_ok=ok,
+        algo=algo,
     )

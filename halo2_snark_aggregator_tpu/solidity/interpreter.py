@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import hashlib
 
+from ..transcript.keccak import new_hash
+
 from ..ff import bn254 as ff
 from .ir import CodegenContext, Expr, Statement
 
@@ -20,7 +22,7 @@ class Interpreter:
         self.instances = instance_words
         self.env: dict[int, int] = {}
         self.algo = algo
-        self.hash_state = hashlib.new(algo)
+        self.hash_state = new_hash(algo)
 
     def _val(self, e: Expr) -> int:
         if e.kind == "const":
@@ -117,7 +119,7 @@ class Interpreter:
             elif op == "squeeze":
                 self.hash_state.update(b"\x00")
                 digest = self.hash_state.digest()
-                self.hash_state = hashlib.new(self.algo)
+                self.hash_state = new_hash(self.algo)
                 self.hash_state.update(digest)
                 self.env[st.dest[0]] = ff.fe_from_bytes_wide(digest + b"\x00" * 32, ff.R)
             else:

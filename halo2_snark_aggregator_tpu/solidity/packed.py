@@ -26,6 +26,8 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 
+from ..transcript.keccak import new_hash
+
 from ..ff import bn254 as ff
 from .generate import GeneratedVerifier
 from .ir import Expr
@@ -188,7 +190,7 @@ def run_packed(prog: PackedProgram, proof_words: list[int],
     R = ff.R
     m = [0] * prog.memory_size
     ops = prog.ops
-    state = hashlib.new(algo)
+    state = new_hash(algo)
 
     def ld(o: int) -> int:
         kind, idx = o >> 14, o & 0x3FFF
@@ -295,7 +297,7 @@ def run_packed(prog: PackedProgram, proof_words: list[int],
             d = u16()
             state.update(b"\x00")
             digest = state.digest()
-            state = hashlib.new(algo)
+            state = new_hash(algo)
             state.update(digest)
             m[d] = ff.fe_from_bytes_wide(digest + b"\x00" * 32, R)
         else:

@@ -108,6 +108,17 @@ def _sol_pairing(sg2, ng2) -> str:
     }}"""
 
 
+def _hash_call(algo: str) -> str:
+    """EVM hash for the transcript: sha256 precompile or the native
+    keccak256 opcode (the reference codegen transcript's Keccak256 flavor,
+    transcript/codegen.rs:19-37 — far cheaper on-chain)."""
+    if algo == "sha256":
+        return "sha256"
+    if algo == "keccak256":
+        return "keccak256"
+    raise ValueError(f"no EVM hash for transcript algo {algo!r}")
+
+
 def _fmt(e: Expr, slot_of) -> str:
     if e.kind == "const":
         return hex(e.value)
@@ -272,7 +283,7 @@ contract Verifier {{
             }} else if (op == 17) {{
                 uint256 d = ru16(ops, pc); pc += 2;
                 buf = abi.encodePacked(buf, uint8(0));
-                bytes32 dg = sha256(buf);
+                bytes32 dg = {_hash_call(gen.algo)}(buf);
                 buf = abi.encodePacked(dg);
                 m[d] = digest_to_fr(dg);
             }} else {{
@@ -388,7 +399,7 @@ def render(gen: GeneratedVerifier, params) -> str:
             emit(f"buf = abi.encodePacked(buf, bytes31(0), uint8(1), {a[0]}, {a[1]});")
         elif st.op == "squeeze":
             emit("buf = abi.encodePacked(buf, uint8(0));")
-            emit("digest = sha256(buf);")
+            emit(f"digest = {_hash_call(gen.algo)}(buf);")
             emit("buf = abi.encodePacked(digest);")
             # challenge = from_bytes_wide(digest as LE) like the Rust side
             emit(f"m[{slot_of[st.dest[0]]}] = digest_to_fr(digest);")

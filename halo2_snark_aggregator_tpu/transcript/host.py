@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import hashlib
 
+from .keccak import new_hash
+
 from ..ff import bn254 as ff
 from ..hashes.poseidon_host import PoseidonSponge
 
@@ -119,7 +121,7 @@ class PoseidonRead:
 class _ShaState:
     def __init__(self, algo: str):
         self.algo = algo
-        self.state = hashlib.new(algo)
+        self.state = new_hash(algo)
 
     def _absorb_fe_be(self, v: int):
         self.state.update(ff.fe_to_bytes(v)[::-1])  # 32 bytes, reversed to BE
@@ -140,7 +142,7 @@ class _ShaState:
     def squeeze_challenge(self) -> int:
         self.state.update(bytes([SHA_PREFIX_CHALLENGE]))
         result = self.state.digest()
-        self.state = hashlib.new(self.algo)
+        self.state = new_hash(self.algo)
         self.state.update(result)
         return ff.fe_from_bytes_wide(result + b"\x00" * 32, ff.R)
 

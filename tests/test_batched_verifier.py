@@ -83,3 +83,36 @@ def test_batched_sharded_matches_oracle(setup):
     assert ok, "sharded batched pairing failed"
     assert w_x == expected_wx
     assert w_g == expected_wg
+
+
+def test_batched_zkevm_shape():
+    """The traced batched verifier over the multi-phase, multi-lookup
+    zkevm-shape circuit (the default bench.py workload): phase-1 challenge
+    replay and the wider MSM manifest must survive the tape compilation."""
+    from halo2_snark_aggregator_tpu.circuits.zkevm import ZkevmShapeCircuit
+    from halo2_snark_aggregator_tpu.protocol.batched import BatchedVerifier
+    from halo2_snark_aggregator_tpu.prover.keygen import keygen
+    from halo2_snark_aggregator_tpu.prover.kzg import ParamsKZG
+    from halo2_snark_aggregator_tpu.prover.prove import create_proof
+    from halo2_snark_aggregator_tpu.transcript.host import PoseidonWrite
+
+    k, n_groups, batch = 9, 4, 3
+    params = ParamsKZG.setup_cached(k)
+    c0 = ZkevmShapeCircuit(k=k, seed=1, n_groups=n_groups)
+    vk, pk = keygen(c0, k, params)
+    proofs, insts = [], []
+    for i in range(batch):
+        c = ZkevmShapeCircuit(k=k, seed=4 + i, n_groups=n_groups)
+        proofs.append(create_proof(pk, params, [c], [c.instances()],
+                                   PoseidonWrite(), seed=i))
+        insts.append(c.instances())
+
+    bv = BatchedVerifier(vk, params, batch=batch, sample_proof=proofs[0],
+                         sample_instances=insts[0], msm_window=4)
+    *_pair, ok = bv.verify(proofs, insts)
+    assert ok
+
+    bad = [list(col) for col in insts[1]]
+    bad[0][0] = (bad[0][0] + 1) % (1 << 64)
+    *_pair, ok2 = bv.verify(proofs, [insts[0], bad, insts[2]])
+    assert not ok2

@@ -115,3 +115,34 @@ def test_decompress_g1_ys():
     for (x, y_ref), y in zip(pts, ys[:-1]):
         assert y is not None and (y * y - (x**3 + 3)) % ff.P == 0
         assert y in (y_ref, ff.P - y_ref)
+
+
+def test_msm_staged_split_matches_oracle():
+    """Load-balanced split bucket plan (host_bucket_plan_split): uniform AND
+    skewed scalars — the plain plan degrades when digits are skewed (the top
+    window of 254-bit scalars collapses onto a handful of buckets)."""
+    import random
+
+    import numpy as np
+
+    from halo2_snark_aggregator_tpu.ff import bn254 as ff
+    from halo2_snark_aggregator_tpu.ops import curve_rr as cv
+    from halo2_snark_aggregator_tpu.ops import field as fo
+    from halo2_snark_aggregator_tpu.ops import field_rr as frr
+    from halo2_snark_aggregator_tpu.ops import msm as msm_mod
+
+    rng = random.Random(5)
+    n = 128
+    pts = [ff.g1_mul(ff.G1_GEN, rng.randrange(1, ff.R)) for _ in range(n)]
+    jpts = tuple(frr.with_bound(c, msm_mod.CARRY_BOUND)
+                 for c in cv.from_affine_ints(pts))
+    for scal in (
+        [rng.randrange(ff.R) for _ in range(n)],        # uniform
+        [rng.randrange(1 << 40) for _ in range(n)],      # skewed low bits
+        [0] * (n - 1) + [rng.randrange(ff.R)],           # nearly all zero
+    ):
+        sn = fo.ints_to_limbs(scal)
+        got = msm_mod.msm_staged_split(jpts, sn, c=4, target=8)
+        assert got == ff.g1_msm(pts, scal)
+        _o, _s, counts, _w = msm_mod.host_bucket_plan_split(sn, 4, 8)
+        assert counts.max() <= 8

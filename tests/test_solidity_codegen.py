@@ -190,3 +190,39 @@ def test_syntax_checker_catches_breakage(setup):
         check_solidity(src.replace("contract Verifier {", "contract Verifier "))
     with _pytest.raises(SoliditySyntaxError):
         check_solidity(src.replace('hex"', 'hex"f', 1))
+
+
+def test_keccak_transcript_roundtrip():
+    """Keccak256 transcript flavor (reference codegen transcript
+    ShaRead<Keccak256>, transcript/codegen.rs:19-37): prove under keccak,
+    codegen, and round-trip both the direct interpreter and the packed
+    executor; the rendered contracts use the native keccak256 opcode."""
+    from halo2_snark_aggregator_tpu.solidity.packed import encode, run_packed
+    from halo2_snark_aggregator_tpu.solidity.render import render, render_packed
+    from halo2_snark_aggregator_tpu.solidity.syntax import check_solidity
+
+    k = SimpleMulCircuit.K
+    params = ParamsKZG.unsafe_setup(k)
+    circuit = SimpleMulCircuit(5, 6)
+    vk, pk = keygen(circuit, k, params)
+    proof = create_proof(pk, params, [circuit], [circuit.instances()],
+                         ShaWrite("keccak256"), seed=11)
+
+    gen = generate(vk, params, proof, circuit.instances(), algo="keccak256")
+    assert gen.pairing_ok
+    words = proof_to_words(proof)
+    flat = [v % ff.R for col in circuit.instances() for v in col]
+
+    interp = Interpreter(gen.cg, words, flat, algo="keccak256")
+    interp.run()
+    wx = interp.point_of(gen.wx)
+    wg = interp.point_of(gen.wg)
+    assert ff.pairing_check([(wx, params.s_g2), (wg, ff.g2_neg(params.g2))])
+
+    wx_p, wg_p = run_packed(encode(gen), words, flat, algo="keccak256")
+    assert (wx_p, wg_p) == (wx, wg)
+
+    for src in (render(gen, params), render_packed(gen, params)):
+        check_solidity(src)
+        assert "keccak256(buf)" in src
+        assert "sha256(buf)" not in src
