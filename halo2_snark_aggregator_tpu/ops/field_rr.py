@@ -243,12 +243,16 @@ def _conv(a_limbs, b_limbs):
 
     NOTE: a take_along_axis "skew gather" variant is 8x fewer XLA ops but
     general gathers lower to scalar loads on TPU (observed ~100x slower
-    execution); static pads + adds stay fully vectorized."""
-    prod = a_limbs[..., :, None] * b_limbs[..., None, :]
-    zpad = [(0, 0)] * (prod.ndim - 2)
+    execution); static pads + adds stay fully vectorized. The products are
+    formed one shifted row at a time — materializing the full
+    (..., 32, 32) outer product as one tensor is a multi-GB HLO temp that
+    the TPU buffer assigner does not always fuse away (measured 24G HBM
+    for a 6-wide wave-batched mul over a 2^15 batch)."""
+    zpad = [(0, 0)] * (a_limbs.ndim - 1)
     total = None
     for i in range(NLIMBS):
-        row = jnp.pad(prod[..., i, :], zpad + [(i, NLIMBS - i)])
+        row = jnp.pad(a_limbs[..., i : i + 1] * b_limbs,
+                      zpad + [(i, NLIMBS - i)])
         total = row if total is None else total + row
     return total  # int32[..., 64]
 
