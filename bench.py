@@ -310,27 +310,27 @@ def _cached_zkevm_proofs(k: int, nproofs: int, n_groups: int = 8):
     circuit = ZkevmShapeCircuit(k=k, seed=1, n_groups=n_groups)
     vk, apk = keygen_accel(circuit, k, params)
 
-    cache = f"/tmp/bench_zkevm_proofs_k{k}_n{nproofs}.pkl"
     fp = hashlib.sha256(str(vk.transcript_repr()).encode()).hexdigest()[:16]
-    proofs = None
-    if os.path.exists(cache):
-        with open(cache, "rb") as f:
-            tag, proofs = pickle.load(f)
-        if tag != fp:
-            proofs = None
-    if proofs is None:
-        proofs = []
-        for i in range(nproofs):
-            c = ZkevmShapeCircuit(k=k, seed=2 + i, n_groups=n_groups)
-            t0 = time.time()
-            proofs.append(
-                (create_proof_accel(apk, params, [c], [c.instances()],
+    # one cache file per proof: a killed run (axon worker fault, session
+    # restart) keeps every completed proof — losing 2.5h of proving to a
+    # fault at proof 15/32 is how round 2 lost its first bench attempt
+    proofs = []
+    for i in range(nproofs):
+        cache = f"/tmp/bench_zkevm_proof_k{k}_{fp}_{i}.pkl"
+        if os.path.exists(cache):
+            with open(cache, "rb") as f:
+                proofs.append(pickle.load(f))
+            continue
+        c = ZkevmShapeCircuit(k=k, seed=2 + i, n_groups=n_groups)
+        t0 = time.time()
+        entry = (create_proof_accel(apk, params, [c], [c.instances()],
                                     PoseidonWrite(), seed=i),
-                 c.instances()))
-            print(f"proved zkevm-shape K={k} proof {i + 1}/{nproofs} "
-                  f"in {time.time() - t0:.1f}s", file=sys.stderr)
+                 c.instances())
         with open(cache, "wb") as f:
-            pickle.dump((fp, proofs), f)
+            pickle.dump(entry, f)
+        proofs.append(entry)
+        print(f"proved zkevm-shape K={k} proof {i + 1}/{nproofs} "
+              f"in {time.time() - t0:.1f}s", file=sys.stderr)
     return params, vk, proofs
 
 

@@ -33,16 +33,31 @@ class Assignment:
         # multi-phase proving: challenges squeezed in earlier phases (halo2's
         # Value::unknown semantics — None until the phase that reveals it)
         self.challenges = challenges if challenges is not None else {}
+        # highest row any assignment/copy touched: MockProver uses this to
+        # bound (soundly) how far a circuit's used_rows_hint may under-scan
+        self.max_row_touched = -1
 
     def get_challenge(self, index: int) -> int | None:
         return self.challenges.get(index)
 
+    def _check_row(self, row: int):
+        if row >= self.usable_rows:
+            raise ValueError(
+                f"row {row} exceeds usable rows ({self.usable_rows} = "
+                f"2^k - (blinding_factors + 1) = {self.n} - "
+                f"{self.n - self.usable_rows}); increase k or shrink the "
+                f"circuit (halo2 reserves the tail rows for blinding)")
+        if row > self.max_row_touched:
+            self.max_row_touched = row
+
     def assign_fixed(self, col: Column, row: int, value: int):
-        assert col.kind == FIXED and row < self.usable_rows
+        assert col.kind == FIXED
+        self._check_row(row)
         self.fixed[col.index][row] = value % R
 
     def assign_advice(self, col: Column, row: int, value: int):
-        assert col.kind == ADVICE and row < self.usable_rows
+        assert col.kind == ADVICE
+        self._check_row(row)
         self.advice[col.index][row] = value % R
 
     def query_instance(self, col: Column, row: int) -> int:
@@ -51,7 +66,8 @@ class Assignment:
         return vals[row] if row < len(vals) else 0
 
     def copy(self, col_a: Column, row_a: int, col_b: Column, row_b: int):
-        assert row_a < self.usable_rows and row_b < self.usable_rows
+        self._check_row(row_a)
+        self._check_row(row_b)
         self.copies.append((col_a, row_a, col_b, row_b))
 
     def cell_value(self, col: Column, row: int) -> int:

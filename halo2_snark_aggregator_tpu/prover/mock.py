@@ -8,9 +8,18 @@ checks each lookup argument by multiset inclusion over the usable rows.
 Row evaluation is vectorized over numpy object arrays (python-int elements):
 the aggregation circuit (circuits/aggregator.py) assigns millions of rows, so
 per-row Python loops are replaced by elementwise array arithmetic. Circuits
-may set `assigner.used_rows_hint` after synthesis to bound the scan: rows
-beyond the hint were never assigned, remain at the zero default, and satisfy
-every (selector-gated) constraint vacuously.
+may set `assigner.used_rows_hint` after synthesis to bound the scan; the
+hint is made SOUND rather than trusted: the scan always extends to the
+highest row any assignment actually touched (plus the widest query rotation,
+so rotated gates straddling the boundary are evaluated), and the all-zero
+tail beyond the scan is checked symbolically — every gate must vanish and
+every lookup's zero-row input tuple must hit the table on a zero row, which
+is exactly the state of every unassigned row.
+
+Unlike round 1 this also validates equality enablement: a `copy()` on a
+column never passed to `cs.enable_equality` is reported as a failure (halo2
+panics at keygen; a mock that silently value-checks such copies would bless
+layouts the real prover cannot constrain).
 """
 
 from __future__ import annotations
@@ -42,7 +51,17 @@ class MockProver:
         self.n = n
         self.usable = usable
         hint = getattr(assignment, "used_rows_hint", None)
-        self.check_rows = min(usable, hint) if hint else usable
+        if hint:
+            # a hint may only *extend* past the last touched row, never hide
+            # it; widen by the largest |rotation| so gates that reference
+            # row±rot across the boundary are still evaluated
+            max_rot = max(
+                (abs(r) for _, r in (cs.fixed_queries + cs.advice_queries
+                                     + cs.instance_queries)), default=0)
+            floor = assignment.max_row_touched + 1 + max_rot
+            self.check_rows = min(usable, max(hint, floor))
+        else:
+            self.check_rows = usable
         self.assignment = assignment
         self._col_cache: dict = {}
 
@@ -88,8 +107,24 @@ class MockProver:
             scale=lambda a, s: a * s % R,
         )
 
+    def _expr_zero(self, e: Expression) -> int:
+        """Expression value on an unassigned (all-default) row: every queried
+        cell is 0, challenges evaluate as in the row scan."""
+        return e.evaluate(
+            constant=lambda v: v % R,
+            fixed=lambda q: 0,
+            advice=lambda q: 0,
+            instance=lambda q: 0,
+            challenge=lambda i: 1,
+            neg=lambda a: (-a) % R,
+            add=lambda a, b: (a + b) % R,
+            mul=lambda a, b: a * b % R,
+            scale=lambda a, s: a * s % R,
+        )
+
     def verify(self) -> list[Failure]:
         failures: list[Failure] = []
+        tail_unscanned = self.check_rows < self.usable
         # gates over the scanned rows
         for name, polys in self.cs.gates:
             for gi, poly in enumerate(polys):
@@ -98,9 +133,25 @@ class MockProver:
                 if bad.size:
                     failures.append(Failure(
                         "gate", f"gate '{name}'[{gi}] != 0 at row {bad[0]}"))
-        # copy constraints
+                elif tail_unscanned and self._expr_zero(poly) != 0:
+                    failures.append(Failure(
+                        "gate",
+                        f"gate '{name}'[{gi}] != 0 on unassigned all-zero "
+                        f"tail rows {self.check_rows}..{self.usable - 1}"))
+        # copy constraints: value equality AND equality enablement (halo2
+        # keygen panics on a copy over a non-enabled column; value-checking
+        # such a copy would bless a layout the permutation cannot constrain)
         cell_value = self.assignment.cell_value
+        enabled = set(self.cs.permutation_columns)
+        unenabled_reported = set()
         for (ca, ra, cb, rb) in self.assignment.copies:
+            for c in (ca, cb):
+                if c not in enabled and c not in unenabled_reported:
+                    unenabled_reported.add(c)
+                    failures.append(Failure(
+                        "copy",
+                        f"{c} used in copy constraints but never passed to "
+                        f"cs.enable_equality"))
             va = cell_value(ca, ra)
             vb = cell_value(cb, rb)
             if va % R != vb % R:
@@ -112,10 +163,25 @@ class MockProver:
             tab_cols = [self._expr_rows(e) for e in lk.table_expressions]
             if len(in_cols) == 1:
                 table = set(tab_cols[0].tolist())
+                if tail_unscanned:
+                    table.add(self._expr_zero(lk.table_expressions[0]))
+                    if self._expr_zero(lk.input_expressions[0]) not in table:
+                        failures.append(Failure(
+                            "lookup",
+                            f"lookup '{lk.name}' misses on unassigned tail rows"))
                 miss = [i for i, v in enumerate(in_cols[0].tolist())
                         if v not in table]
             else:
                 table = set(zip(*[c.tolist() for c in tab_cols]))
+                if tail_unscanned:
+                    table.add(tuple(self._expr_zero(e)
+                                    for e in lk.table_expressions))
+                    zin = tuple(self._expr_zero(e)
+                                for e in lk.input_expressions)
+                    if zin not in table:
+                        failures.append(Failure(
+                            "lookup",
+                            f"lookup '{lk.name}' misses on unassigned tail rows"))
                 miss = [i for i, v in enumerate(zip(*[c.tolist() for c in in_cols]))
                         if v not in table]
             if miss:
