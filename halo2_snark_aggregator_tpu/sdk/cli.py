@@ -156,11 +156,26 @@ def main(argv=None):
         check_solidity(src_packed)
         store.write_solidity(src_packed, "verifier_packed.sol")
         prog = encode_packed(gen)
+        # execute BOTH emitted sources (not just the IR) against the real
+        # proof — the no-solc analog of the reference's waffle deploy+call
+        # (Verifier.test.ts:39-71)
+        from ..ff import bn254 as _ff
+        from ..solidity.interpreter import proof_to_words
+        from ..solidity.sol_exec import SolidityExecutor
+
+        words = proof_to_words(proof)
+        insts_flat = [v % _ff.R for col in instances for v in col]
+        for name, text in (("verifier.sol", src),
+                           ("verifier_packed.sol", src_packed)):
+            if not SolidityExecutor(text, gen.algo).verify(words, insts_flat):
+                raise RuntimeError(f"{name} source-level execution REJECTED "
+                                   f"the proof it was generated from")
         print(f"verifier.sol written ({gen.transcript_words} proof words, "
               f"{len(gen.cg.statements)} statements); verifier_packed.sol "
               f"written ({len(prog.ops)}B opcode blob + "
               f"{32 * len(prog.cpool)}B constant pool, memory_size "
-              f"{prog.memory_size})")
+              f"{prog.memory_size}); both sources executed and verified "
+              f"the proof")
     return 0
 
 
