@@ -367,20 +367,35 @@ class VerifyingKey:
     def quotient_poly_degree(self) -> int:
         return self.cs.degree() - 1
 
-    def transcript_repr(self) -> int:
+    def transcript_repr(self, style: str | None = None) -> int:
         """blake2b-512 digest of a canonical vk serialization, reduced into Fr.
 
         Mirrors the reference's init_transcript (verify.rs:56-72): blake2b with
         personal "Halo2-Verify-Key", absorbing u64-LE length then the pinned-vk
-        string. The reference hashes Rust's `{:?}` debug format of
-        `vk.pinned()`; we hash our own canonical text serialization (the exact
-        Rust debug layout is unreproducible without the Rust toolchain; any
-        injective serialization yields an equally sound Fiat-Shamir binding).
+        string.
+
+        Two pinned-string styles (select per call or via H2T_VK_DIGEST):
+          - "native" (default): our own canonical text serialization — any
+            injective serialization yields an equally sound Fiat-Shamir
+            binding, and this one is independent of Rust Debug formatting.
+          - "halo2-pinned": best-effort byte reconstruction of Rust's `{:?}`
+            of `vk.pinned()` for toolchain interop (protocol/pinned_compat.py
+            documents the targeted revs and residual uncertainties).
+        Prover and verifier both route through here, so either style is
+        self-consistent end-to-end.
         """
         import hashlib
+        import os
 
         from ..ff.bn254 import fe_from_bytes_wide
 
+        style = style or os.environ.get("H2T_VK_DIGEST", "native")
+        if style in ("halo2", "halo2-pinned"):
+            from .pinned_compat import transcript_repr_compat
+
+            return transcript_repr_compat(self)
+        if style != "native":
+            raise ValueError(f"unknown vk digest style {style!r}")
         s = self._pinned_str().encode()
         h = hashlib.blake2b(digest_size=64, person=b"Halo2-Verify-Key")
         h.update(len(s).to_bytes(8, "little"))

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 
 from ..circuits.simple import SimpleMulCircuit
@@ -84,7 +85,16 @@ def main(argv=None):
     parser.add_argument("--demo", choices=["simple", "multi"], default="simple",
                         help="target-circuit set: simple-example.rs or "
                              "multi-circuit.rs analog")
+    parser.add_argument("--vk-digest", choices=["native", "halo2-pinned"],
+                        default=None,
+                        help="pinned-vk transcript digest style: our "
+                             "canonical serialization (default) or the "
+                             "reconstructed halo2 {:?} pinned format "
+                             "(verify.rs:56-72 interop; protocol/"
+                             "pinned_compat.py)")
     args = parser.parse_args(argv)
+    if args.vk_digest:
+        os.environ["H2T_VK_DIGEST"] = args.vk_digest
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
     store = FolderStore(args.folder)
