@@ -423,10 +423,25 @@ class BatchedVerifier:
 
     # -- public API ---------------------------------------------------------
     def verify(self, proofs: list[bytes], instances_per_lane: list):
+        import os
+        import time
+
+        prof = bool(os.environ.get("H2T_BV_PROFILE"))
+        marks = [("start", time.time())]
+
+        def mark(name, value=None):
+            if prof:
+                if value is not None:
+                    np.asarray(value)  # materialize: block_until_ready lies on axon
+                marks.append((name, time.time()))
+
         assert len(proofs) == self.batch
         pt_table = self._decompress_all(proofs)
+        mark("decompress")
         inputs, commits = self._pack_inputs(proofs, instances_per_lane, pt_table)
+        mark("pack_inputs", inputs)
         slots = self.run_tape(inputs)
+        mark("tape_phase_a", slots)
 
         # aggregation transcript: absorb per-lane final squeezes, get lambda
         squeezes = np.asarray(slots[self.final_squeeze_slot.idx])  # (B, 32)
@@ -439,6 +454,7 @@ class BatchedVerifier:
             for b in range(self.batch)
         ])
 
+        mark("outer_squeeze")
         pts_resolved = self._entry_points(proofs, commits, pt_table)
         device_pts = []
         for pts, (entries, _l) in zip(pts_resolved, self.msm_plans):
@@ -448,8 +464,10 @@ class BatchedVerifier:
                 fr.with_bound(c, msm_mod.CARRY_BOUND)
                 for c in cvr.from_affine_ints(flat)
             ))
+        mark("entry_points", device_pts[0][0].limbs)
 
         scal16s, e16s = self._phase_b1(slots, jnp.asarray(lam_pows))
+        mark("phase_b1", scal16s[0])
         if self.mesh is not None:
             outs = self._run_phase_b2_sharded(device_pts, scal16s)
         else:
@@ -462,7 +480,10 @@ class BatchedVerifier:
                     (jnp.asarray(order), jnp.asarray(starts),
                      jnp.asarray(counts))
                 )
+            mark("bucket_plans")
             outs = self._phase_b2(*device_pts, plans_dev)
+        mark("phase_b2", outs[0][0].limbs if hasattr(outs[0][0], "limbs")
+             else None)
 
         results = []
         for totals, e16 in zip(outs, e16s):
@@ -477,10 +498,21 @@ class BatchedVerifier:
                 gpt = None
             results.append((pt, gpt))
 
+        mark("combine")
         (wx_s, wx_e), (wg_s, wg_e) = results
         w_x = ff.g1_add(wx_s, wx_e) if wx_e is not None else wx_s
         w_g = ff.g1_add(wg_s, ff.g1_neg(wg_e)) if wg_e is not None else wg_s
         ok = ff.pairing_check([
             (w_x, self.params.s_g2), (w_g, ff.g2_neg(self.params.g2)),
         ])
+        mark("pairing")
+        if prof:
+            import sys
+
+            spans = [
+                f"{name}={t1 - t0:.3f}s"
+                for (_, t0), (name, t1) in zip(marks, marks[1:])
+            ]
+            print(f"BV profile (batch {self.batch}): " + " ".join(spans),
+                  file=sys.stderr)
         return w_x, w_g, ok
