@@ -182,11 +182,20 @@ def combine_rows_host(totals, weights: np.ndarray, c: int):
 
 
 def msm_staged_split(points, scalars, c: int = 8, trips: int = 256,
-                     target: int | None = None):
+                     target: int | None = None, prefetch: bool | None = None):
     """Load-balanced staged MSM: split bucket plan -> bounded accumulate
     dispatches -> log-depth bucket reduce -> host window combine. The right
     default for commit-size N on the real chip: serial depth ~target for
-    ANY scalar distribution, all phases restartable dispatches."""
+    ANY scalar distribution, all phases restartable dispatches.
+
+    prefetch=True (or H2T_MSM_PREFETCH=1) swaps the loop-carried per-trip
+    gather for one up-front gather per dispatch (_accum_steps_pregather),
+    with the per-dispatch trip count capped so the prefetched point buffer
+    stays under ~1 GiB."""
+    import os
+
+    if prefetch is None:
+        prefetch = bool(int(os.environ.get("H2T_MSM_PREFETCH", "0")))
     order_np, starts_np, counts_np, weights = host_bucket_plan_split(
         np.asarray(scalars), c, target)
     max_load = int(counts_np.max()) if counts_np.size else 0
@@ -194,11 +203,16 @@ def msm_staged_split(points, scalars, c: int = 8, trips: int = 256,
     starts = jnp.asarray(starts_np)
     counts = jnp.asarray(counts_np)
     acc = _accum_init(points[0], np.zeros(counts_np.shape))
+    step_cap = trips
+    step_fn = _accum_steps
+    if prefetch:
+        rows = int(np.prod(counts_np.shape)) or 1
+        step_cap = max(1, min(trips, (1 << 28) // (rows * 3 * fr.NLIMBS * 4)))
+        step_fn = _accum_steps_pregather
     t = 0
     while t < max_load:
-        step = min(trips, max_load - t)
-        acc = _accum_steps(points, order, starts, counts, acc,
-                           jnp.int32(t), step)
+        step = min(step_cap, max_load - t)
+        acc = step_fn(points, order, starts, counts, acc, jnp.int32(t), step)
         t += step
     totals = bucket_reduce_logdepth(acc, c=c)
     return combine_rows_host(totals, weights, c)
@@ -313,6 +327,49 @@ def _accum_steps(points, order, starts, counts, acc, t0, trips: int):
 @functools.partial(jax.jit, static_argnames=())
 def _accum_init(px_ref, windows_buckets):
     return _varying_identity(px_ref, tuple(windows_buckets.shape))
+
+
+@functools.partial(jax.jit, static_argnames=("trips",))
+def _accum_steps_pregather(points, order, starts, counts, acc, t0,
+                           trips: int):
+    """_accum_steps with ALL `trips` steps' points fetched in ONE gather
+    before the loop. The loop-carried gather in _accum_steps issues one
+    (R, B)-row gather per trip, serialized behind the previous add; here a
+    single (trips*R*B)-row gather runs up front (one big DMA program XLA can
+    pipeline) and the loop body reads contiguous dynamic slices of the
+    prefetched buffer. Costs trips*R*B*384B of HBM — callers bound `trips`
+    accordingly (msm_staged_split caps the prefetch working set)."""
+    px, py, pz = points
+    n = px.limbs.shape[0]
+    rows, nbuckets = starts.shape
+
+    ts = t0 + jnp.arange(trips, dtype=jnp.int32)
+    idx_sorted = jnp.clip(starts[None] + ts[:, None, None], 0, n - 1)
+    # order rows are shared across trips: gather along the point axis with a
+    # (R, trips*B) index block instead of broadcasting order to (T, R, N)
+    idx_rows = jnp.transpose(idx_sorted, (1, 0, 2)).reshape(rows, -1)
+    point_idx = jnp.take_along_axis(order, idx_rows, axis=1)
+    flat_idx = jnp.transpose(
+        point_idx.reshape(rows, trips, nbuckets), (1, 0, 2)
+    ).reshape(-1)
+    pre = tuple(
+        fr.RR(comp.limbs[flat_idx].reshape(trips, rows, nbuckets, fr.NLIMBS),
+              comp.bound)
+        for comp in (px, py, pz)
+    )
+
+    def body(i, acc):
+        t = t0 + i
+        pt = tuple(
+            fr.RR(jax.lax.dynamic_index_in_dim(comp.limbs, i, axis=0,
+                                               keepdims=False), comp.bound)
+            for comp in pre
+        )
+        new = cv.add(acc, pt)
+        valid = t < counts
+        return _pin(cv.select_point(valid, new, acc))
+
+    return jax.lax.fori_loop(0, trips, body, acc)
 
 
 def msm_staged_bounded(points, scalars, c: int = 8, trips: int = 256):

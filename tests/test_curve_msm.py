@@ -146,3 +146,31 @@ def test_msm_staged_split_matches_oracle():
         assert got == ff.g1_msm(pts, scal)
         _o, _s, counts, _w = msm_mod.host_bucket_plan_split(sn, 4, 8)
         assert counts.max() <= 8
+
+
+def test_msm_staged_split_prefetch_matches_oracle():
+    """The pre-gathered accumulate (_accum_steps_pregather) is bit-identical
+    to the loop-carried gather path, including partial final dispatches and
+    the skewed plans above."""
+    import random
+
+    from halo2_snark_aggregator_tpu.ff import bn254 as ff
+    from halo2_snark_aggregator_tpu.ops import curve_rr as cv
+    from halo2_snark_aggregator_tpu.ops import field as fo
+    from halo2_snark_aggregator_tpu.ops import field_rr as frr
+    from halo2_snark_aggregator_tpu.ops import msm as msm_mod
+
+    rng = random.Random(9)
+    n = 96
+    pts = [ff.g1_mul(ff.G1_GEN, rng.randrange(1, ff.R)) for _ in range(n)]
+    jpts = tuple(frr.with_bound(c, msm_mod.CARRY_BOUND)
+                 for c in cv.from_affine_ints(pts))
+    for scal in (
+        [rng.randrange(ff.R) for _ in range(n)],
+        [0] * (n - 2) + [rng.randrange(ff.R)] * 2,
+    ):
+        sn = fo.ints_to_limbs(scal)
+        # trips=3 forces a partial final dispatch at target=8
+        got = msm_mod.msm_staged_split(jpts, sn, c=4, target=8, trips=3,
+                                       prefetch=True)
+        assert got == ff.g1_msm(pts, scal)
