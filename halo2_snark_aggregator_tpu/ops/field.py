@@ -112,10 +112,14 @@ def std_to_ints(arr) -> list[int]:
 
 
 def ints_to_limbs(vs) -> np.ndarray:
-    out = np.zeros((len(vs), LIMBS), dtype=np.uint32)
-    for i, v in enumerate(vs):
-        out[i] = int_to_limbs(v)
-    return out
+    """Batched int_to_limbs via to_bytes + frombuffer (the per-element
+    Python limb loop was the bench/verifier staging hot spot at 2^20+)."""
+    if len(vs) == 0:
+        return np.zeros((0, LIMBS), dtype=np.uint32)
+    buf = b"".join(int(v).to_bytes(LIMBS * LIMB_BITS // 8, "little")
+                   for v in vs)
+    return np.frombuffer(buf, dtype="<u2").reshape(
+        len(vs), LIMBS).astype(np.uint32)
 
 
 def limbs_to_ints(arr) -> list[int]:
@@ -142,6 +146,13 @@ class FieldSpec:
 
     def to_mont_int(self, v: int) -> np.ndarray:
         return int_to_limbs(v * (1 << NBITS) % self.modulus)
+
+    def to_mont_ints(self, vs) -> np.ndarray:
+        """Batched to_mont_int: uint32[n, LIMBS] (bytes-vectorized limb
+        decomposition; the bigint Montgomery shift stays per element)."""
+        m = self.modulus
+        shift = 1 << NBITS
+        return ints_to_limbs([v % m * shift % m for v in vs])
 
     def from_mont_limbs(self, a) -> int:
         return limbs_to_int(np.asarray(a)) * pow(1 << NBITS, -1, self.modulus) % self.modulus

@@ -105,9 +105,24 @@ def with_bound(a: RR, bound: int) -> RR:
     return RR(a.limbs, bound)
 
 
+def mont_limbs_from_ints(spec: RRSpec, ints) -> np.ndarray:
+    """Batched to_mont_int: int32[n, NLIMBS]. The Montgomery shift stays a
+    per-element bigint mulmod (C-speed in CPython), but limb decomposition
+    goes through to_bytes + frombuffer instead of a 32-iteration Python
+    loop per element (~10x on large batches: MSM input staging, the
+    batched verifier's entry-point marshaling)."""
+    if len(ints) == 0:
+        return np.zeros((0, NLIMBS), dtype=np.int32)
+    m = spec.modulus
+    shift = 1 << NBITS
+    buf = b"".join((v % m * shift % m).to_bytes(NLIMBS, "little")
+                   for v in ints)
+    return np.frombuffer(buf, dtype=np.uint8).reshape(
+        len(ints), NLIMBS).astype(np.int32)
+
+
 def rr_from_host(spec: RRSpec, ints: list[int]) -> RR:
-    arr = np.stack([spec.to_mont_int(v % spec.modulus) for v in ints])
-    return RR(jnp.asarray(arr), 8)
+    return RR(jnp.asarray(mont_limbs_from_ints(spec, ints)), 8)
 
 
 def rr_to_host(spec: RRSpec, a: RR) -> list[int]:

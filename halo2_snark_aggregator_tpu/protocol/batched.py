@@ -270,10 +270,10 @@ class BatchedVerifier:
                 else:
                     raise KeyError(kind)
             lanes.append(vals)
-        arr = np.zeros((len(self.manifest), len(proofs), fr.NLIMBS), dtype=np.int32)
-        for b, vals in enumerate(lanes):
-            for i, v in enumerate(vals):
-                arr[i, b] = FR.to_mont_int(v)
+        flat = fr.mont_limbs_from_ints(
+            FR, [v for vals in lanes for v in vals])
+        arr = flat.reshape(
+            len(proofs), len(self.manifest), fr.NLIMBS).transpose(1, 0, 2)
         return jnp.asarray(arr), commits_per_lane
 
     def _entry_points(self, proofs, commits_per_lane, pt_table: dict):
