@@ -116,10 +116,12 @@ def host_bucket_plan_split(scalars_np: np.ndarray, c: int,
     bits, so its 2^c buckets collapse onto a handful: measured max_load
     20635 at c=12 / N=2^16 vs the ~16 a uniform window would give).
 
-    Returns (order (R, L), starts (R, B), counts (R, B), weights (R,)) where
-    weights[r] is the window index of row r; combine with
-    combine_rows_host(totals, weights, c). L pads rows to the longest range
-    (padded positions have counts masking them off).
+    Returns (order (W, N), starts (R, B), counts (R, B), weights (R,)) where
+    weights[r] is the window index of row r (it doubles as the row's index
+    into `order` — rows of one window share the window's sorted order, so
+    order is NOT duplicated per row: at 2^20/target=128 the per-row stack
+    was a 4 GiB device array and dominated the whole MSM through the
+    host->device tunnel). Combine with combine_rows_host(totals, weights, c).
     """
     n = scalars_np.shape[0]
     if target is None:
@@ -133,7 +135,7 @@ def host_bucket_plan_split(scalars_np: np.ndarray, c: int,
     # [start_b + r*target, start_b + min((r+1)*target, count_b)) of every
     # bucket b, so every (row, bucket) load is <= target exactly; all rows
     # of a window share its sorted order array
-    rows_order, rows_starts, rows_counts, weights = [], [], [], []
+    rows_starts, rows_counts, weights = [], [], []
     for w in range(windows):
         maxc = int(base_counts[w].max()) if base_counts[w].size else 0
         nrows = max(1, -(-maxc // target))
@@ -142,15 +144,13 @@ def host_bucket_plan_split(scalars_np: np.ndarray, c: int,
         for r in range(nrows):
             off = r * target
             cnt = np.clip(b_count - off, 0, target)
-            rows_order.append(base_order[w])
             rows_starts.append((b_start + off).astype(np.int32))
             rows_counts.append(cnt.astype(np.int32))
             weights.append(w)
 
-    order = np.stack(rows_order)
     starts = np.stack(rows_starts)
     counts = np.stack(rows_counts)
-    return order, starts, counts, np.asarray(weights, dtype=np.int32)
+    return base_order, starts, counts, np.asarray(weights, dtype=np.int32)
 
 
 def combine_rows_host(totals, weights: np.ndarray, c: int):
@@ -199,9 +199,10 @@ def msm_staged_split(points, scalars, c: int = 8, trips: int = 256,
     order_np, starts_np, counts_np, weights = host_bucket_plan_split(
         np.asarray(scalars), c, target)
     max_load = int(counts_np.max()) if counts_np.size else 0
-    order = jnp.asarray(order_np)
+    order = jnp.asarray(order_np)  # (W, N): shared across each window's rows
     starts = jnp.asarray(starts_np)
     counts = jnp.asarray(counts_np)
+    row_window = jnp.asarray(weights)
     acc = _accum_init(points[0], np.zeros(counts_np.shape))
     step_cap = trips
     step_fn = _accum_steps
@@ -212,7 +213,8 @@ def msm_staged_split(points, scalars, c: int = 8, trips: int = 256,
     t = 0
     while t < max_load:
         step = min(step_cap, max_load - t)
-        acc = step_fn(points, order, starts, counts, acc, jnp.int32(t), step)
+        acc = step_fn(points, order, starts, counts, acc, jnp.int32(t), step,
+                      row_window=row_window)
         t += step
     totals = bucket_reduce_logdepth(acc, c=c)
     return combine_rows_host(totals, weights, c)
@@ -304,8 +306,21 @@ _reduce_jit = functools.partial(jax.jit, static_argnames=("c",))(_bucket_reduce)
 _combine_jit = functools.partial(jax.jit, static_argnames=("c",))(_combine_windows)
 
 
+def _plan_point_idx(order, starts, t, n, row_window=None):
+    """Resolve trip t's (R, B) point indices. With a split plan, `order` is
+    (W, N) shared across each window's rows and row_window maps row -> w
+    (indexing through it avoids materializing the (R, N) per-row stack —
+    4 GiB at 2^20/target=128)."""
+    idx_sorted = jnp.clip(starts + t, 0, n - 1)
+    if row_window is None:
+        return jnp.take_along_axis(order, idx_sorted, axis=1)
+    flat = order.reshape(-1)
+    return flat[row_window[:, None] * order.shape[1] + idx_sorted]
+
+
 @functools.partial(jax.jit, static_argnames=("trips",))
-def _accum_steps(points, order, starts, counts, acc, t0, trips: int):
+def _accum_steps(points, order, starts, counts, acc, t0, trips: int,
+                 row_window=None):
     """`trips` accumulate steps starting at step t0 (a traced scalar, so one
     compile covers the whole sweep). Out-of-range steps are masked by the
     per-bucket counts, exactly as in _bucket_accumulate."""
@@ -314,8 +329,7 @@ def _accum_steps(points, order, starts, counts, acc, t0, trips: int):
 
     def body(i, acc):
         t = t0 + i
-        idx_sorted = jnp.clip(starts + t, 0, n - 1)
-        point_idx = jnp.take_along_axis(order, idx_sorted, axis=1)
+        point_idx = _plan_point_idx(order, starts, t, n, row_window)
         pt = cv.gather_point((px, py, pz), point_idx)
         new = cv.add(acc, pt)
         valid = t < counts
@@ -331,7 +345,7 @@ def _accum_init(px_ref, windows_buckets):
 
 @functools.partial(jax.jit, static_argnames=("trips",))
 def _accum_steps_pregather(points, order, starts, counts, acc, t0,
-                           trips: int):
+                           trips: int, row_window=None):
     """_accum_steps with ALL `trips` steps' points fetched in ONE gather
     before the loop. The loop-carried gather in _accum_steps issues one
     (R, B)-row gather per trip, serialized behind the previous add; here a
@@ -348,7 +362,11 @@ def _accum_steps_pregather(points, order, starts, counts, acc, t0,
     # order rows are shared across trips: gather along the point axis with a
     # (R, trips*B) index block instead of broadcasting order to (T, R, N)
     idx_rows = jnp.transpose(idx_sorted, (1, 0, 2)).reshape(rows, -1)
-    point_idx = jnp.take_along_axis(order, idx_rows, axis=1)
+    if row_window is None:
+        point_idx = jnp.take_along_axis(order, idx_rows, axis=1)
+    else:
+        point_idx = order.reshape(-1)[
+            row_window[:, None] * order.shape[1] + idx_rows]
     flat_idx = jnp.transpose(
         point_idx.reshape(rows, trips, nbuckets), (1, 0, 2)
     ).reshape(-1)
