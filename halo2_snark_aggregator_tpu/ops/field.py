@@ -48,15 +48,23 @@ def limbs_to_int(a) -> int:
 
 XFER_ROWS = 1 << 18  # bounded host<->device slices: whole-array transfers
                      # through the axon tunnel RESOURCE_EXHAUST at ~0.5GB
+XFER_BYTES = 256 << 20  # per-slice byte cap (wide rows: a (32, 4M) int32
+                        # order array is one 512MB row-sliced transfer)
+
+
+def _xfer_rows(x) -> int:
+    row_bytes = max(1, int(np.prod(x.shape[1:])) * x.dtype.itemsize)
+    return max(1, min(XFER_ROWS, XFER_BYTES // row_bytes))
 
 
 def dev_to_np(x) -> np.ndarray:
     """Device -> host in bounded slices along axis 0."""
     n = x.shape[0]
-    if n <= XFER_ROWS:
+    rows = _xfer_rows(x)
+    if n <= rows:
         return np.asarray(x)
-    return np.concatenate([np.asarray(x[i : i + XFER_ROWS])
-                           for i in range(0, n, XFER_ROWS)])
+    return np.concatenate([np.asarray(x[i : i + rows])
+                           for i in range(0, n, rows)])
 
 
 def np_to_dev(x):
@@ -64,10 +72,11 @@ def np_to_dev(x):
     concat of slices)."""
     import jax.numpy as _jnp
     n = x.shape[0]
-    if n <= XFER_ROWS:
+    rows = _xfer_rows(x)
+    if n <= rows:
         return _jnp.asarray(x)
-    return _jnp.concatenate([_jnp.asarray(x[i : i + XFER_ROWS])
-                             for i in range(0, n, XFER_ROWS)])
+    return _jnp.concatenate([_jnp.asarray(x[i : i + rows])
+                             for i in range(0, n, rows)])
 
 
 def rowwise_jit(fn, chunk: int = 1 << 16):

@@ -122,7 +122,11 @@ def mont_limbs_from_ints(spec: RRSpec, ints) -> np.ndarray:
 
 
 def rr_from_host(spec: RRSpec, ints: list[int]) -> RR:
-    return RR(jnp.asarray(mont_limbs_from_ints(spec, ints)), 8)
+    from .field import np_to_dev
+
+    # bounded-slice upload: one-shot transfers RESOURCE_EXHAUST the axon
+    # tunnel at ~0.5 GB (hit at 2^22-point MSM staging: 512 MB per coord)
+    return RR(np_to_dev(mont_limbs_from_ints(spec, ints)), 8)
 
 
 def rr_to_host(spec: RRSpec, a: RR) -> list[int]:

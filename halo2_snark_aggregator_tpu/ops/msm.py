@@ -199,7 +199,9 @@ def msm_staged_split(points, scalars, c: int = 8, trips: int = 256,
     order_np, starts_np, counts_np, weights = host_bucket_plan_split(
         np.asarray(scalars), c, target)
     max_load = int(counts_np.max()) if counts_np.size else 0
-    order = jnp.asarray(order_np)  # (W, N): shared across each window's rows
+    # (W, N), shared across each window's rows; bounded-slice upload (one
+    # 512 MB transfer at 2^22 RESOURCE_EXHAUSTs the axon tunnel)
+    order = fo.np_to_dev(order_np)
     starts = jnp.asarray(starts_np)
     counts = jnp.asarray(counts_np)
     row_window = jnp.asarray(weights)
