@@ -82,3 +82,22 @@ def test_source_length_guards(setup):
     ex = SolidityExecutor(src, gen.algo)
     with pytest.raises(Exception, match="bad proof length"):
         ex.verify(words[:-1], insts)
+
+
+def test_keccak_source_executes_and_verifies():
+    """keccak256-transcript contracts use the native keccak256 opcode instead
+    of the sha256 staticcall; the source executor must run both flavors
+    (reference codegen transcript ShaRead<Keccak256>, codegen.rs:19-37)."""
+    k = SimpleMulCircuit.K
+    params = ParamsKZG.unsafe_setup(k)
+    circuit = SimpleMulCircuit(4, 5)
+    vk, pk = keygen(circuit, k, params)
+    proof = create_proof(pk, params, [circuit], [circuit.instances()],
+                         ShaWrite("keccak256"), seed=3)
+    gen = generate(vk, params, proof, circuit.instances(), algo="keccak256")
+    assert gen.pairing_ok
+    words = proof_to_words(proof)
+    insts = [v % ff.R for col in circuit.instances() for v in col]
+    for src in (render(gen, params), render_packed(gen, params)):
+        assert "keccak256" in src
+        assert SolidityExecutor(src, "keccak256").verify(words, insts) is True
