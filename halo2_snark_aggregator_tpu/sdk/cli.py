@@ -140,24 +140,42 @@ def main(argv=None):
         harness.verify2_check(l2, l2_k=args.agg_k)
         print("layer-2 outer proof natively verified")
     elif args.command == "verify_solidity":
-        # generate an EVM verifier for a stored SHA-transcript proof; the demo
-        # re-proves proof 0 with the SHA flavor (the outer aggregation proof
-        # uses this transcript once the aggregation circuit lands)
-        from ..prover.prove import create_proof
+        # generate the EVM verifier (reference SolidityGenerate::call,
+        # sdk/src/lib.rs): for the OUTER aggregation proof when verify_run
+        # has stored one (the production flow — the contract then verifies
+        # the whole aggregated statement on-chain), else for a freshly
+        # SHA-proved demo target proof
         from ..solidity.generate import generate
         from ..solidity.packed import encode as encode_packed
         from ..solidity.render import render, render_packed
         from ..solidity.syntax import check_solidity
-        from ..transcript.host import ShaWrite
-        from ..circuits.simple import SimpleMulCircuit as _C
 
-        params = store.read_target_params(spec.name)
-        vk, pk = store.read_target_vkey(spec.name)
-        circuit = spec.circuit_builder(1)
-        instances = spec.instance_builder(circuit)
-        proof = create_proof(pk, params, [circuit], [instances],
-                             ShaWrite(args.algo), seed=0)
-        gen = generate(vk, params, proof, instances, algo=args.algo)
+        final_pair = None
+        if store.exists("verify_circuit_proof.data"):
+            from ..prover.srs import setup_cached_accel
+
+            vk = store.read_verify_vkey()
+            proof = store.read_verify_proof()
+            instances = store.read_verify_instance()
+            params = setup_cached_accel(args.agg_k)
+            final_pair = store.read_final_pair()
+            if args.algo != "sha256":
+                raise SystemExit("stored outer proofs use the sha256 "
+                                 "transcript (harness.verify_run)")
+            gen = generate(vk, params, proof, instances, algo=args.algo)
+            print(f"generating verifier for the stored outer proof "
+                  f"({len(proof)} bytes, k={args.agg_k})")
+        else:
+            from ..prover.prove import create_proof
+            from ..transcript.host import ShaWrite
+
+            params = store.read_target_params(spec.name)
+            vk, pk = store.read_target_vkey(spec.name)
+            circuit = spec.circuit_builder(1)
+            instances = spec.instance_builder(circuit)
+            proof = create_proof(pk, params, [circuit], [instances],
+                                 ShaWrite(args.algo), seed=0)
+            gen = generate(vk, params, proof, instances, algo=args.algo)
         assert gen.pairing_ok
         src = render(gen, params)
         check_solidity(src)
@@ -175,17 +193,31 @@ def main(argv=None):
 
         words = proof_to_words(proof)
         insts_flat = [v % _ff.R for col in instances for v in col]
+        fp_note = ""
         for name, text in (("verifier.sol", src),
                            ("verifier_packed.sol", src_packed)):
-            if not SolidityExecutor(text, gen.algo).verify(words, insts_flat):
+            ex = SolidityExecutor(text, gen.algo)
+            if not ex.verify(words, insts_flat):
                 raise RuntimeError(f"{name} source-level execution REJECTED "
                                    f"the proof it was generated from")
+            if final_pair is not None:
+                # the aggregator entry: pass the TARGET circuits' raw final
+                # pair; the contract packs it into the leading 136-bit
+                # instance words itself (verifier.sol:356-365)
+                w_x, w_g = final_pair
+                fp = [w_x[0], w_x[1], w_g[0], w_g[1]]
+                if not ex.call("verify_final_pair",
+                               [words, fp, insts_flat[4:]]):
+                    raise RuntimeError(
+                        f"{name} verify_final_pair REJECTED the stored "
+                        f"target final pair")
+                fp_note = " (+ on-chain final-pair packing checked)"
         print(f"verifier.sol written ({gen.transcript_words} proof words, "
               f"{len(gen.cg.statements)} statements); verifier_packed.sol "
               f"written ({len(prog.ops)}B opcode blob + "
               f"{32 * len(prog.cpool)}B constant pool, memory_size "
               f"{prog.memory_size}); both sources executed and verified "
-              f"the proof")
+              f"the proof{fp_note}")
     return 0
 
 

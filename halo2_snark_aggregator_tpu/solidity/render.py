@@ -108,6 +108,56 @@ def _sol_pairing(sg2, ng2) -> str:
     }}"""
 
 
+def _verify_entries(nwords: int, iw: int) -> str:
+    """The public entry points, reference-template-shaped: verify() copies
+    the dynamic instance calldata into the fixed memory array get_wx_wg
+    takes (verifier.sol:340), and — for aggregator-shaped verifiers (>= 4
+    instance words) — verify_final_pair() packs the TARGET circuit's raw
+    final pair into the leading 136-bit instance words on-chain
+    (verifier.sol:356-365), binding the outer proof's public inputs to the
+    inner pair inside the contract."""
+    iw_decl = max(iw, 1)
+    entries = f"""
+    function verify(uint256[] calldata proof, uint256[] calldata instances)
+        public view returns (bool)
+    {{
+        require(proof.length == {nwords}, "bad proof length");
+        require(instances.length == {iw}, "bad instance length");
+        uint256[{iw_decl}] memory inst;
+        for (uint256 i = 0; i < {iw}; i++) {{ inst[i] = instances[i]; }}
+        (uint256 wx_x, uint256 wx_y, uint256 wg_x, uint256 wg_y) =
+            get_wx_wg(proof, inst);
+        return pairing_check(wx_x, wx_y, wg_x, wg_y);
+    }}
+"""
+    if iw >= 4:
+        entries += f"""
+    function verify_final_pair(
+        uint256[] calldata proof,
+        uint256[] calldata target_circuit_final_pair,
+        uint256[] calldata rest_instances
+    ) public view returns (bool) {{
+        require(proof.length == {nwords}, "bad proof length");
+        require(target_circuit_final_pair.length == 4, "bad pair length");
+        require(rest_instances.length == {iw - 4}, "bad instance length");
+        uint256[{iw_decl}] memory inst;
+        inst[0] = target_circuit_final_pair[0] & ((1 << 136) - 1);
+        inst[1] = (target_circuit_final_pair[0] >> 136)
+            + ((target_circuit_final_pair[1] & 1) << 136);
+        inst[2] = target_circuit_final_pair[2] & ((1 << 136) - 1);
+        inst[3] = (target_circuit_final_pair[2] >> 136)
+            + ((target_circuit_final_pair[3] & 1) << 136);
+        for (uint256 i = 4; i < {iw}; i++) {{
+            inst[i] = rest_instances[i - 4];
+        }}
+        (uint256 wx_x, uint256 wx_y, uint256 wg_x, uint256 wg_y) =
+            get_wx_wg(proof, inst);
+        return pairing_check(wx_x, wx_y, wg_x, wg_y);
+    }}
+"""
+    return entries
+
+
 def _hash_call(algo: str) -> str:
     """EVM hash for the transcript: sha256 precompile or the native
     keccak256 opcode (the reference codegen transcript's Keccak256 flavor,
@@ -174,7 +224,7 @@ contract Verifier {{
     function ld(
         uint256 o,
         uint256[] calldata proof,
-        uint256[] calldata instances,
+        uint256[{max(prog.instance_words, 1)}] memory instances,
         uint256[{prog.memory_size}] memory m,
         bytes memory cpool
     ) private pure returns (uint256 v) {{
@@ -186,7 +236,8 @@ contract Verifier {{
         else v = cword(cpool, idx);
     }}
 
-    function get_wx_wg(uint256[] calldata proof, uint256[] calldata instances)
+    function get_wx_wg(uint256[] calldata proof,
+                       uint256[{max(prog.instance_words, 1)}] memory instances)
         internal view returns (uint256, uint256, uint256, uint256)
     {{
         uint256[{prog.memory_size}] memory m;
@@ -299,16 +350,7 @@ contract Verifier {{
     }}
 
 {_sol_pairing(sg2, ng2)}
-
-    function verify(uint256[] calldata proof, uint256[] calldata instances)
-        public view returns (bool)
-    {{
-        require(proof.length == {prog.transcript_words}, "bad proof length");
-        require(instances.length == {prog.instance_words}, "bad instance length");
-        (uint256 wx_x, uint256 wx_y, uint256 wg_x, uint256 wg_y) =
-            get_wx_wg(proof, instances);
-        return pairing_check(wx_x, wx_y, wg_x, wg_y);
-    }}
+{_verify_entries(prog.transcript_words, prog.instance_words)}
 }}
 """
 
@@ -422,19 +464,19 @@ contract Verifier {{
 
 {_sol_pairing(sg2, ng2)}
 
-    function verify(uint256[] calldata proof, uint256[] calldata instances)
-        public view returns (bool)
+    function get_wx_wg(uint256[] calldata proof,
+                       uint256[{max(gen.instance_words, 1)}] memory instances)
+        internal view returns (uint256, uint256, uint256, uint256)
     {{
-        require(proof.length == {gen.transcript_words}, "bad proof length");
-        require(instances.length == {gen.instance_words}, "bad instance length");
         uint256[{max(total, 1)}] memory m;
         bytes memory buf;
         bytes32 digest;
         {body}
-        return pairing_check(
+        return (
             {_fmt(gen.wx.x, slot_of)}, {_fmt(gen.wx.y, slot_of)},
             {_fmt(gen.wg.x, slot_of)}, {_fmt(gen.wg.y, slot_of)}
         );
     }}
+{_verify_entries(gen.transcript_words, gen.instance_words)}
 }}
 """
