@@ -151,6 +151,7 @@ def main(argv=None):
         from ..solidity.syntax import check_solidity
 
         final_pair = None
+        target_params = None
         if store.exists("verify_circuit_proof.data"):
             from ..prover.srs import setup_cached_accel
 
@@ -158,6 +159,9 @@ def main(argv=None):
             proof = store.read_verify_proof()
             instances = store.read_verify_instance()
             params = setup_cached_accel(args.agg_k)
+            # the inner final pair is pairing-checked on-chain against the
+            # TARGET circuits' G2 points (verifier.sol:388-397)
+            target_params = store.read_target_params(spec.name)
             final_pair = store.read_final_pair()
             if args.algo != "sha256":
                 raise SystemExit("stored outer proofs use the sha256 "
@@ -177,10 +181,10 @@ def main(argv=None):
                                  ShaWrite(args.algo), seed=0)
             gen = generate(vk, params, proof, instances, algo=args.algo)
         assert gen.pairing_ok
-        src = render(gen, params)
+        src = render(gen, params, target_params=target_params)
         check_solidity(src)
         store.write_solidity(src)
-        src_packed = render_packed(gen, params)
+        src_packed = render_packed(gen, params, target_params=target_params)
         check_solidity(src_packed)
         store.write_solidity(src_packed, "verifier_packed.sol")
         prog = encode_packed(gen)

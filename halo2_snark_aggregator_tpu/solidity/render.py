@@ -81,8 +81,8 @@ _SOL_HELPERS = """    function digest_to_fr(bytes32 d) internal pure returns (ui
     }"""
 
 
-def _sol_pairing(sg2, ng2) -> str:
-    return f"""    function pairing_check(uint256 wx_x, uint256 wx_y, uint256 wg_x, uint256 wg_y)
+def _sol_pairing(sg2, ng2, name: str = "pairing_check") -> str:
+    return f"""    function {name}(uint256 wx_x, uint256 wx_y, uint256 wg_x, uint256 wg_y)
         internal view returns (bool)
     {{
         uint256[12] memory input;
@@ -108,14 +108,16 @@ def _sol_pairing(sg2, ng2) -> str:
     }}"""
 
 
-def _verify_entries(nwords: int, iw: int) -> str:
+def _verify_entries(nwords: int, iw: int, target_g2=None) -> str:
     """The public entry points, reference-template-shaped: verify() copies
     the dynamic instance calldata into the fixed memory array get_wx_wg
     takes (verifier.sol:340), and — for aggregator-shaped verifiers (>= 4
-    instance words) — verify_final_pair() packs the TARGET circuit's raw
-    final pair into the leading 136-bit instance words on-chain
-    (verifier.sol:356-365), binding the outer proof's public inputs to the
-    inner pair inside the contract."""
+    instance words, target params supplied) — verify_final_pair() packs the
+    TARGET circuits' raw final pair into the leading 136-bit instance words
+    on-chain (verifier.sol:356-365) AND pairing-checks that inner pair
+    against the target circuits' G2 points (verifier.sol:388-397: the
+    aggregation circuit computes but does not pair the inner fold; the
+    contract closes it)."""
     iw_decl = max(iw, 1)
     entries = f"""
     function verify(uint256[] calldata proof, uint256[] calldata instances)
@@ -130,7 +132,10 @@ def _verify_entries(nwords: int, iw: int) -> str:
         return pairing_check(wx_x, wx_y, wg_x, wg_y);
     }}
 """
-    if iw >= 4:
+    if iw >= 4 and target_g2 is not None:
+        sg2_t, ng2_t = target_g2
+        entries += "\n" + _sol_pairing(sg2_t, ng2_t,
+                                       name="pairing_check_target") + "\n"
         entries += f"""
     function verify_final_pair(
         uint256[] calldata proof,
@@ -140,6 +145,10 @@ def _verify_entries(nwords: int, iw: int) -> str:
         require(proof.length == {nwords}, "bad proof length");
         require(target_circuit_final_pair.length == 4, "bad pair length");
         require(rest_instances.length == {iw - 4}, "bad instance length");
+        require(pairing_check_target(
+            target_circuit_final_pair[0], target_circuit_final_pair[1],
+            target_circuit_final_pair[2], target_circuit_final_pair[3]),
+            "target pairing failed");
         uint256[{iw_decl}] memory inst;
         inst[0] = target_circuit_final_pair[0] & ((1 << 136) - 1);
         inst[1] = (target_circuit_final_pair[0] >> 136)
@@ -179,7 +188,8 @@ def _fmt(e: Expr, slot_of) -> str:
     return f"m[{slot_of[e.value]}]"
 
 
-def render_packed(gen: GeneratedVerifier, params) -> str:
+def render_packed(gen: GeneratedVerifier, params,
+                  target_params=None) -> str:
     """Packed-opcode contract (reference D8's update()-interpreter design,
     ctx.rs:344-365): the whole statement list ships as a `bytes constant`
     opcode blob (+ a 32-byte-word constant pool) executed by an in-contract
@@ -192,6 +202,8 @@ def render_packed(gen: GeneratedVerifier, params) -> str:
     cpool_hex = "".join(v.to_bytes(32, "big").hex() for v in prog.cpool)
     o = prog.out_operands
     sg2 = params.s_g2
+    tg2 = (None if target_params is None else
+           (target_params.s_g2, ff.g2_neg(target_params.g2)))
     ng2 = ff.g2_neg(params.g2)
 
     return f"""// SPDX-License-Identifier: MIT
@@ -350,12 +362,12 @@ contract Verifier {{
     }}
 
 {_sol_pairing(sg2, ng2)}
-{_verify_entries(prog.transcript_words, prog.instance_words)}
+{_verify_entries(prog.transcript_words, prog.instance_words, tg2)}
 }}
 """
 
 
-def render(gen: GeneratedVerifier, params) -> str:
+def render(gen: GeneratedVerifier, params, target_params=None) -> str:
     cg = gen.cg
     outs = [gen.wx.x, gen.wx.y, gen.wg.x, gen.wg.y]
     keep = [e.value for e in outs if e.kind == "var"]
@@ -450,6 +462,8 @@ def render(gen: GeneratedVerifier, params) -> str:
 
     body = "\n        ".join(lines)
     sg2 = params.s_g2
+    tg2 = (None if target_params is None else
+           (target_params.s_g2, ff.g2_neg(target_params.g2)))
     ng2 = ff.g2_neg(params.g2)
 
     return f"""// SPDX-License-Identifier: MIT
@@ -477,6 +491,6 @@ contract Verifier {{
             {_fmt(gen.wg.x, slot_of)}, {_fmt(gen.wg.y, slot_of)}
         );
     }}
-{_verify_entries(gen.transcript_words, gen.instance_words)}
+{_verify_entries(gen.transcript_words, gen.instance_words, tg2)}
 }}
 """

@@ -772,7 +772,7 @@ class SolidityExecutor:
             p = _pt_or_none(_as_int(env["px"]), _as_int(env["py"]))
             env["cx"], env["cy"] = _xy(ff.g1_mul(p, _as_int(env["s"])))  # 0x07
             env["success"] = True
-        elif fname == "pairing_check":
+        elif fname.startswith("pairing_check"):  # incl. pairing_check_target
             inp = [_as_int(v) for v in env["input"]]
             pairs = []
             for off in (0, 6):
