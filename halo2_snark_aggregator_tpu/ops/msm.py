@@ -214,10 +214,13 @@ def msm_staged_split(points, scalars, c: int = 8, trips: int = 256,
         step_fn = _accum_steps_pregather
     t = 0
     while t < max_load:
-        step = min(step_cap, max_load - t)
-        acc = step_fn(points, order, starts, counts, acc, jnp.int32(t), step,
-                      row_window=row_window)
-        t += step
+        # ALWAYS dispatch step_cap trips: a partial final dispatch would
+        # compile a distinct program per remainder size (each commit in the
+        # accel prover has its own max_load -> dozens of multi-minute XLA
+        # compiles); overshoot trips are masked by the per-bucket counts
+        acc = step_fn(points, order, starts, counts, acc, jnp.int32(t),
+                      step_cap, row_window=row_window)
+        t += step_cap
     totals = bucket_reduce_logdepth(acc, c=c)
     return combine_rows_host(totals, weights, c)
 

@@ -297,9 +297,11 @@ class AccelParams:
         m = coeffs_mont.shape[0]
         scalars = np.zeros((self.n, 16), dtype=np.uint32)
         scalars[:m] = dev_to_np(m_from_mont(jnp.asarray(coeffs_mont)))
-        out = msm_ops.msm_staged_bounded(self.g_dev, scalars, c=8)
-        host = tuple(frr.RR(np.asarray(c.limbs)[None], c.bound) for c in out)
-        return cv.to_affine_ints(host)[0]
+        # load-balanced split plan: the plain plan's serial depth is set by
+        # the TOP window of 254-bit scalars (6 meaningful bits -> ~n/64 max
+        # bucket load, ~8x the uniform-window load at k=21); the split plan
+        # bounds every row's depth to `target` (host-finished combine)
+        return msm_ops.msm_staged_split(self.g_dev, scalars, c=8)
 
     def commit_lagrange_ints(self, values: list[int]):
         """Small commit in the Lagrange basis (instance columns)."""

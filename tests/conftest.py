@@ -45,6 +45,7 @@ _KERNEL_TEST_FILES = {
     "test_poseidon_pallas.py",
     "test_poseidon_ops.py",
     "test_curve_msm.py",
+    "test_curve_pallas.py",
     "test_msm_sharded.py",
     "test_msm_multihost.py",
     "test_ntt_ops.py",

@@ -144,3 +144,22 @@ def test_accel_proof_verifies():
         proofs=[pv.ProofData(instances=[c.instances()], transcript=t, key="p0")])
     *_, ok = pv.verify_single_proof_in_chip(ctx, nchip, schip, pchip, cp)
     assert ok
+
+
+def test_accel_proof_device_commits_bit_exact():
+    """Force commit_mode='device' at small k so the device Pippenger commit
+    path (msm_staged_split over the device SRS) is pinned byte-exact against
+    host commits — 'auto' uses host MSMs below HOST_MSM_MAX_K, leaving the
+    device path untested at test sizes otherwise."""
+    k = SimpleMulCircuit.K
+    params = ParamsKZG.setup_cached(k)
+    c = SimpleMulCircuit(5, 6)
+    vk, pk = keygen(c, k, params)
+    insts = c.instances()
+
+    host_proof = create_proof(pk, params, [c], [insts], PoseidonWrite(), seed=2)
+    apk = accel.AccelPk.from_host(pk)
+    aparams = accel.AccelParams.from_params(params, commit_mode="device")
+    accel_proof = accel.create_proof_accel(
+        apk, aparams, [c], [insts], PoseidonWrite(), seed=2)
+    assert accel_proof == host_proof
