@@ -188,14 +188,19 @@ def msm_staged_split(points, scalars, c: int = 8, trips: int = 256,
     default for commit-size N on the real chip: serial depth ~target for
     ANY scalar distribution, all phases restartable dispatches.
 
-    prefetch=True (or H2T_MSM_PREFETCH=1) swaps the loop-carried per-trip
-    gather for one up-front gather per dispatch (_accum_steps_pregather),
-    with the per-dispatch trip count capped so the prefetched point buffer
-    stays under ~1 GiB."""
+    prefetch=True (the default; H2T_MSM_PREFETCH=0 disables) swaps the
+    loop-carried per-trip gather for one up-front gather per dispatch
+    (_accum_steps_pregather), with the per-dispatch trip count capped so the
+    prefetched point buffer stays bounded. Measured on a real v5e at 2^16
+    points, c=8: 39.4k pts/s pregathered vs 26.4k loop-gathered (+50% —
+    the per-trip gather serializes behind the previous add; see CLAUDE.md
+    gather rule). Wider windows lose: c=10 measured 6x SLOWER (rows*buckets
+    device width blows up faster than serial depth shrinks) and c=12
+    OOMs HBM at 2^16."""
     import os
 
     if prefetch is None:
-        prefetch = bool(int(os.environ.get("H2T_MSM_PREFETCH", "0")))
+        prefetch = bool(int(os.environ.get("H2T_MSM_PREFETCH", "1")))
     order_np, starts_np, counts_np, weights = host_bucket_plan_split(
         np.asarray(scalars), c, target)
     max_load = int(counts_np.max()) if counts_np.size else 0
