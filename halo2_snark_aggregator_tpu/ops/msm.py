@@ -182,7 +182,8 @@ def combine_rows_host(totals, weights: np.ndarray, c: int):
 
 
 def msm_staged_split(points, scalars, c: int = 8, trips: int = 256,
-                     target: int | None = None, prefetch: bool | None = None):
+                     target: int | None = None, prefetch: bool | None = None,
+                     accum: str | None = None):
     """Load-balanced staged MSM: split bucket plan -> bounded accumulate
     dispatches -> log-depth bucket reduce -> host window combine. The right
     default for commit-size N on the real chip: serial depth ~target for
@@ -196,11 +197,18 @@ def msm_staged_split(points, scalars, c: int = 8, trips: int = 256,
     the per-trip gather serializes behind the previous add; see CLAUDE.md
     gather rule). Wider windows lose: c=10 measured 6x SLOWER (rows*buckets
     device width blows up faster than serial depth shrinks) and c=12
-    OOMs HBM at 2^16."""
+    OOMs HBM at 2^16.
+
+    accum='tree' (or H2T_MSM_ACCUM=tree) further replaces the pregathered
+    dispatch's serial fold with the log-depth tree of _accum_steps_tree."""
     import os
 
-    if prefetch is None:
-        prefetch = bool(int(os.environ.get("H2T_MSM_PREFETCH", "1")))
+    if accum is None:
+        accum = os.environ.get("H2T_MSM_ACCUM", "")
+    if not accum:
+        if prefetch is None:
+            prefetch = bool(int(os.environ.get("H2T_MSM_PREFETCH", "1")))
+        accum = "pre" if prefetch else "loop"
     order_np, starts_np, counts_np, weights = host_bucket_plan_split(
         np.asarray(scalars), c, target)
     max_load = int(counts_np.max()) if counts_np.size else 0
@@ -213,10 +221,19 @@ def msm_staged_split(points, scalars, c: int = 8, trips: int = 256,
     acc = _accum_init(points[0], np.zeros(counts_np.shape))
     step_cap = trips
     step_fn = _accum_steps
-    if prefetch:
+    if accum in ("pre", "tree"):
         rows = int(np.prod(counts_np.shape)) or 1
-        step_cap = max(1, min(trips, (1 << 28) // (rows * 3 * fr.NLIMBS * 4)))
-        step_fn = _accum_steps_pregather
+        # XLA's fusions around the prefetched buffer materialize temps ~4x
+        # its size; with a >1 GiB point table also resident (2^22: 1.6 GiB
+        # SRS + 0.5 GiB order) the 256 MiB prefetch budget OOMed 16 GiB HBM,
+        # so shrink it when the table is large
+        pts_bytes = int(points[0].limbs.shape[0]) * 3 * fr.NLIMBS * 4
+        budget = (1 << 28) if pts_bytes < (1 << 30) else (1 << 26)
+        step_cap = max(1, min(trips, budget // (rows * 3 * fr.NLIMBS * 4)))
+        step_fn = (_accum_steps_pregather if accum == "pre"
+                   else _accum_steps_tree)
+    elif accum != "loop":
+        raise ValueError(f"unknown accum mode {accum!r}")
     t = 0
     while t < max_load:
         # ALWAYS dispatch step_cap trips: a partial final dispatch would
@@ -353,16 +370,14 @@ def _accum_init(px_ref, windows_buckets):
     return _varying_identity(px_ref, tuple(windows_buckets.shape))
 
 
-@functools.partial(jax.jit, static_argnames=("trips",))
-def _accum_steps_pregather(points, order, starts, counts, acc, t0,
-                           trips: int, row_window=None):
-    """_accum_steps with ALL `trips` steps' points fetched in ONE gather
-    before the loop. The loop-carried gather in _accum_steps issues one
-    (R, B)-row gather per trip, serialized behind the previous add; here a
-    single (trips*R*B)-row gather runs up front (one big DMA program XLA can
-    pipeline) and the loop body reads contiguous dynamic slices of the
-    prefetched buffer. Costs trips*R*B*384B of HBM — callers bound `trips`
-    accordingly (msm_staged_split caps the prefetch working set)."""
+def _pregather(points, order, starts, counts, t0, trips: int,
+               row_window=None):
+    """Fetch ALL `trips` steps' (R, B) points in ONE gather. The loop-carried
+    gather in _accum_steps issues one (R, B)-row gather per trip, serialized
+    behind the previous add; here a single (trips*R*B)-row gather runs up
+    front (one big DMA program XLA can pipeline). Costs trips*R*B*384B of
+    HBM — callers bound `trips` accordingly (msm_staged_split caps the
+    prefetch working set)."""
     px, py, pz = points
     n = px.limbs.shape[0]
     rows, nbuckets = starts.shape
@@ -380,11 +395,19 @@ def _accum_steps_pregather(points, order, starts, counts, acc, t0,
     flat_idx = jnp.transpose(
         point_idx.reshape(rows, trips, nbuckets), (1, 0, 2)
     ).reshape(-1)
-    pre = tuple(
+    return tuple(
         fr.RR(comp.limbs[flat_idx].reshape(trips, rows, nbuckets, fr.NLIMBS),
               comp.bound)
         for comp in (px, py, pz)
     )
+
+
+@functools.partial(jax.jit, static_argnames=("trips",))
+def _accum_steps_pregather(points, order, starts, counts, acc, t0,
+                           trips: int, row_window=None):
+    """_accum_steps with the points prefetched (_pregather); the loop body
+    reads contiguous dynamic slices of the prefetched buffer."""
+    pre = _pregather(points, order, starts, counts, t0, trips, row_window)
 
     def body(i, acc):
         t = t0 + i
@@ -398,6 +421,43 @@ def _accum_steps_pregather(points, order, starts, counts, acc, t0,
         return _pin(cv.select_point(valid, new, acc))
 
     return jax.lax.fori_loop(0, trips, body, acc)
+
+
+def _slice_t(p, a: int, b: int):
+    return tuple(fr.RR(comp.limbs[a:b], comp.bound) for comp in p)
+
+
+@functools.partial(jax.jit, static_argnames=("trips",))
+def _accum_steps_tree(points, order, starts, counts, acc, t0,
+                      trips: int, row_window=None):
+    """Pregathered accumulate with a LOG-DEPTH reduction. Bucket addition is
+    associative, so the `trips` points destined for each (row, bucket) need
+    not fold serially: leaves past a bucket's count are masked to the
+    identity (the RCB formulas are complete, identity included) and the
+    (T, R, B) block tree-folds in ceil(log2 T) add levels plus one add into
+    `acc`. Same total adds as the serial loop, serial depth log2(T)+1
+    instead of T — the pregather A/B (BENCH_MSM_AB_r02.json) showed the
+    accumulate is latency-bound on the add chain, not throughput-bound."""
+    pre = _pregather(points, order, starts, counts, t0, trips, row_window)
+    ts = t0 + jnp.arange(trips, dtype=jnp.int32)
+    valid = ts[:, None, None] < counts[None]  # (T, R, B)
+    ident = _varying_identity(pre[0], tuple(pre[0].limbs.shape[:-1]))
+    lvl = _pin(cv.select_point(valid, pre, ident))
+    t = trips
+    while t > 1:
+        half = t // 2
+        folded = _pin(cv.add(_slice_t(lvl, 0, half),
+                             _slice_t(lvl, half, 2 * half)))
+        if t % 2:
+            folded = tuple(
+                fr.RR(jnp.concatenate([f.limbs, comp.limbs[2 * half:]]),
+                      max(f.bound, comp.bound))
+                for f, comp in zip(folded, lvl)
+            )
+        lvl = folded
+        t = half + (t % 2)
+    top = tuple(fr.RR(comp.limbs[0], comp.bound) for comp in lvl)
+    return _pin(cv.add(acc, top))
 
 
 def msm_staged_bounded(points, scalars, c: int = 8, trips: int = 256):

@@ -174,3 +174,33 @@ def test_msm_staged_split_prefetch_matches_oracle():
         got = msm_mod.msm_staged_split(jpts, sn, c=4, target=8, trips=3,
                                        prefetch=True)
         assert got == ff.g1_msm(pts, scal)
+
+
+def test_msm_staged_split_tree_matches_oracle():
+    """The log-depth tree accumulate (_accum_steps_tree): identity-masked
+    leaves + complete-add folding must agree with the host oracle, including
+    odd trip counts (leftover leaf carried across a level), overshoot
+    dispatches, and skewed plans."""
+    import random
+
+    from halo2_snark_aggregator_tpu.ff import bn254 as ff
+    from halo2_snark_aggregator_tpu.ops import curve_rr as cv
+    from halo2_snark_aggregator_tpu.ops import field as fo
+    from halo2_snark_aggregator_tpu.ops import field_rr as frr
+    from halo2_snark_aggregator_tpu.ops import msm as msm_mod
+
+    rng = random.Random(11)
+    n = 96
+    pts = [ff.g1_mul(ff.G1_GEN, rng.randrange(1, ff.R)) for _ in range(n)]
+    jpts = tuple(frr.with_bound(c, msm_mod.CARRY_BOUND)
+                 for c in cv.from_affine_ints(pts))
+    for scal in (
+        [rng.randrange(ff.R) for _ in range(n)],
+        [0] * (n - 2) + [rng.randrange(ff.R)] * 2,
+        [rng.randrange(1 << 40) for _ in range(n)],
+    ):
+        sn = fo.ints_to_limbs(scal)
+        for trips in (3, 8):  # odd tree width AND power-of-two
+            got = msm_mod.msm_staged_split(jpts, sn, c=4, target=8,
+                                           trips=trips, accum="tree")
+            assert got == ff.g1_msm(pts, scal)
