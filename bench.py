@@ -294,8 +294,15 @@ def bench_zkevm():
 
 def _cached_zkevm_proofs(k: int, nproofs: int, n_groups: int = 8):
     """Prove (or load cached) zkevm-shape proofs with the TPU-accelerated
-    prover; returns (params, vk, [(proof_bytes, instances)])."""
+    prover; returns (params, vk, [(proof_bytes, instances)]).
+
+    Cache layers, in order: /tmp pickles (fast, survives killed runs on one
+    box) -> repo-committed fixtures under bench_fixtures/ (survive box moves:
+    round 2's driver bench faulted partly because a fresh box had no proof
+    cache and faced hours of re-proving) -> prove. Proofs are only valid for
+    the exact vk, so every layer is keyed by the vk transcript fingerprint."""
     import hashlib
+    import json
     import pickle
 
     from halo2_snark_aggregator_tpu.circuits.zkevm import ZkevmShapeCircuit
@@ -311,6 +318,8 @@ def _cached_zkevm_proofs(k: int, nproofs: int, n_groups: int = 8):
     vk, apk = keygen_accel(circuit, k, params)
 
     fp = hashlib.sha256(str(vk.transcript_repr()).encode()).hexdigest()[:16]
+    fixture_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_fixtures")
     # one cache file per proof: a killed run (axon worker fault, session
     # restart) keeps every completed proof — losing 2.5h of proving to a
     # fault at proof 15/32 is how round 2 lost its first bench attempt
@@ -321,6 +330,16 @@ def _cached_zkevm_proofs(k: int, nproofs: int, n_groups: int = 8):
             with open(cache, "rb") as f:
                 proofs.append(pickle.load(f))
             continue
+        fixture = os.path.join(fixture_dir, f"zkevm_proof_k{k}_{fp}_{i}.json")
+        if os.path.exists(fixture):
+            with open(fixture) as f:
+                d = json.load(f)
+            entry = (bytes.fromhex(d["proof"]),
+                     [[int(v) for v in col] for col in d["instances"]])
+            with open(cache, "wb") as f:
+                pickle.dump(entry, f)
+            proofs.append(entry)
+            continue
         c = ZkevmShapeCircuit(k=k, seed=2 + i, n_groups=n_groups)
         t0 = time.time()
         entry = (create_proof_accel(apk, params, [c], [c.instances()],
@@ -328,6 +347,11 @@ def _cached_zkevm_proofs(k: int, nproofs: int, n_groups: int = 8):
                  c.instances())
         with open(cache, "wb") as f:
             pickle.dump(entry, f)
+        os.makedirs(fixture_dir, exist_ok=True)
+        with open(fixture, "w") as f:
+            json.dump({"proof": entry[0].hex(),
+                       "instances": [[str(v) for v in col]
+                                     for col in entry[1]]}, f)
         proofs.append(entry)
         print(f"proved zkevm-shape K={k} proof {i + 1}/{nproofs} "
               f"in {time.time() - t0:.1f}s", file=sys.stderr)
@@ -464,27 +488,52 @@ def bench_recurse():
     }
 
 
+def _select_bench():
+    if os.environ.get("BENCH_MSM"):
+        return bench_msm
+    if os.environ.get("BENCH_MULTIHOST"):
+        return bench_multihost
+    if os.environ.get("BENCH_RECURSE"):
+        return bench_recurse
+    if os.environ.get("BENCH_BATCHED"):
+        return bench_batched
+    if os.environ.get("BENCH_ZKEVM"):
+        return bench_zkevm
+    if os.environ.get("BENCH_OUTER"):
+        return bench_outer
+    if os.environ.get("BENCH_HYBRID"):
+        return bench_aggregation
+    return bench_zkevm_batched
+
+
 if __name__ == "__main__":
+    import traceback
+
+    bench_fn = _select_bench()
     try:
-        if os.environ.get("BENCH_MSM"):
-            result = bench_msm()
-        elif os.environ.get("BENCH_MULTIHOST"):
-            result = bench_multihost()
-        elif os.environ.get("BENCH_RECURSE"):
-            result = bench_recurse()
-        elif os.environ.get("BENCH_BATCHED"):
-            result = bench_batched()
-        elif os.environ.get("BENCH_ZKEVM"):
-            result = bench_zkevm()
-        elif os.environ.get("BENCH_OUTER"):
-            result = bench_outer()
-        elif os.environ.get("BENCH_HYBRID"):
-            result = bench_aggregation()
-        else:
-            result = bench_zkevm_batched()
-    except Exception as exc:  # TPU worker faults must not lose the datapoint
+        result = bench_fn()
+    except Exception:
+        # Retry ONCE: axon worker faults are frequently transient (tunnel
+        # drain, worker restart), and the first attempt's persistent compile
+        # cache makes the retry cheap. Give a killed worker time to drain.
+        traceback.print_exc(file=sys.stderr)
+        print("bench attempt 1 failed; retrying once in 60s", file=sys.stderr)
         if os.environ.get("BENCH_NO_FALLBACK"):
             raise
-        result = bench_aggregation(use_tpu=False)
-        result["unit"] += f" [HOST FALLBACK: accelerator failed: {type(exc).__name__}]"
+        time.sleep(60)
+        try:
+            result = bench_fn()
+        except Exception as exc:
+            # NO silent host-fallback headline (round 2's driver artifact was
+            # a CPU number tagged only in the unit string). A host fallback
+            # now requires explicit opt-in and is marked invalid for
+            # comparison; default is to fail loudly.
+            if os.environ.get("BENCH_ALLOW_FALLBACK"):
+                result = bench_aggregation(use_tpu=False)
+                result["unit"] += (
+                    f" [INVALID FOR BASELINE: host fallback after accelerator "
+                    f"failure: {type(exc).__name__}]")
+                result["vs_baseline"] = 0.0
+            else:
+                raise
     print(json.dumps(result))

@@ -79,17 +79,31 @@ def host_bucket_plan(scalars_np: np.ndarray, c: int):
     nbits = fo.NBITS
     windows = (nbits + c - 1) // c
     mask = (1 << c) - 1
-    digits = np.zeros((windows, n), dtype=np.int64)
-    vals = scalars_np.astype(np.int64)
-    for w in range(windows):
-        lo_bit = w * c
-        limb = lo_bit // fo.LIMB_BITS
-        off = lo_bit % fo.LIMB_BITS
-        v = vals[:, limb] >> off
-        if off + c > fo.LIMB_BITS and limb + 1 < fo.LIMBS:
-            v = v | (vals[:, limb + 1] << (fo.LIMB_BITS - off))
-        digits[w] = v & mask
-    order = np.argsort(digits, axis=1, kind="stable").astype(np.int32)
+    if c == 8:
+        # the production window width: digit w IS byte w of the scalar —
+        # a zero-arithmetic view of the 16-bit limbs' little-endian bytes
+        digits = np.ascontiguousarray(
+            scalars_np.astype(np.uint16).view(np.uint8).T
+        ).astype(np.int64)
+    else:
+        digits = np.zeros((windows, n), dtype=np.int64)
+        vals = scalars_np.astype(np.int64)
+        for w in range(windows):
+            lo_bit = w * c
+            limb = lo_bit // fo.LIMB_BITS
+            off = lo_bit % fo.LIMB_BITS
+            v = vals[:, limb] >> off
+            if off + c > fo.LIMB_BITS and limb + 1 < fo.LIMBS:
+                v = v | (vals[:, limb + 1] << (fo.LIMB_BITS - off))
+            digits[w] = v & mask
+    # per-ROW narrow-int argsort: numpy dispatches 1-D stable integer sorts
+    # to an O(N) radix sort, but NOT the axis=1 2-D form (measured 14x
+    # slower at 2^20); uint8/uint16 keys make the radix passes cheap
+    assert c <= 14, "digit must fit int16 for the radix argsort"
+    small = digits.astype(np.uint8 if c <= 8 else np.uint16)
+    order = np.stack([
+        np.argsort(small[w], kind="stable") for w in range(windows)
+    ]).astype(np.int32)
     sorted_digits = np.take_along_axis(digits, order, axis=1)
     bucket_ids = np.arange(1 << c)
     starts = np.stack([
@@ -203,14 +217,52 @@ def msm_staged_split(points, scalars, c: int = 8, trips: int = 256,
     dispatch's serial fold with the log-depth tree of _accum_steps_tree."""
     import os
 
-    if accum is None:
-        accum = os.environ.get("H2T_MSM_ACCUM", "")
-    if not accum:
-        if prefetch is None:
-            prefetch = bool(int(os.environ.get("H2T_MSM_PREFETCH", "1")))
+    # Explicit arguments take precedence over ambient env knobs; the env is
+    # consulted only when the caller left BOTH accum and prefetch unset.
+    if accum is None and prefetch is not None:
         accum = "pre" if prefetch else "loop"
+    if accum is None:
+        accum = os.environ.get("H2T_MSM_ACCUM", "") or None
+    if accum is None and os.environ.get("H2T_MSM_PREFETCH"):
+        accum = ("pre" if int(os.environ["H2T_MSM_PREFETCH"])
+                 else "loop")
+    if accum is None:
+        # default: the fused Pallas accumulate on real TPU (2.8x the XLA
+        # pregather path at 2^16, BENCH_MSM_r03.json); the XLA pregather
+        # path elsewhere (CPU interpret-mode of the kernel is impractical
+        # to compile — see ops/msm_pallas.py)
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
+        accum = "pallas" if on_tpu else "pre"
     order_np, starts_np, counts_np, weights = host_bucket_plan_split(
         np.asarray(scalars), c, target)
+    if accum == "pallas":
+        # fused-VMEM bucket accumulate (ops/msm_pallas.py): the XLA limb
+        # path is HBM-bound on materialized CIOS temps; the kernel keeps
+        # the accumulator and every mul temp on-chip
+        from . import msm_pallas as mp
+
+        rb = int(np.prod(counts_np.shape)) or 1
+        # the Pallas kernel consumes the pregather buffer block-by-block
+        # with no XLA fusion temps around it, so the budget can be far more
+        # generous than the XLA path's; still shrink under a >1 GiB table
+        # (2^22: table + order already ~1 GiB resident)
+        pts_bytes = int(points[0].limbs.shape[0]) * 3 * fr.NLIMBS * 4
+        default_budget = 29 if pts_bytes < (1 << 30) else 27
+        budget = 1 << int(os.environ.get("H2T_MSM_BUDGET_LOG2",
+                                         str(default_budget)))
+        # cap trips by the pregather HBM budget AND the (power-of-2 rounded,
+        # to bound the set of Mosaic compiles) max bucket load
+        load_cap = 1 << max(0, int(counts_np.max()) - 1).bit_length() \
+            if counts_np.size else 1
+        cap = max(1, min(512, load_cap, budget // (rb * 2 * 16 * 4)))
+        cap = 1 << (cap.bit_length() - 1)  # pow2: bounds compile variants
+        acc = mp.msm_accumulate_pallas(points, order_np, starts_np,
+                                       counts_np, weights, trips_cap=cap)
+        totals = bucket_reduce_logdepth(acc, c=c)
+        return combine_rows_host(totals, weights, c)
     max_load = int(counts_np.max()) if counts_np.size else 0
     # (W, N), shared across each window's rows; bounded-slice upload (one
     # 512 MB transfer at 2^22 RESOURCE_EXHAUSTs the axon tunnel)
@@ -229,6 +281,15 @@ def msm_staged_split(points, scalars, c: int = 8, trips: int = 256,
         # so shrink it when the table is large
         pts_bytes = int(points[0].limbs.shape[0]) * 3 * fr.NLIMBS * 4
         budget = (1 << 28) if pts_bytes < (1 << 30) else (1 << 26)
+        if accum == "tree":
+            # the tree additionally materializes the identity-masked
+            # (T, R, B) leaf level + per-level fold temps on top of the
+            # prefetch buffer; derate so peak HBM stays within the
+            # pregather-calibrated margin
+            budget //= 2
+        env_budget = os.environ.get("H2T_MSM_BUDGET_LOG2")
+        if env_budget:
+            budget = 1 << int(env_budget)
         step_cap = max(1, min(trips, budget // (rows * 3 * fr.NLIMBS * 4)))
         step_fn = (_accum_steps_pregather if accum == "pre"
                    else _accum_steps_tree)

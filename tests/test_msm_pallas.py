@@ -1,0 +1,153 @@
+"""Differential tests for the fused Pallas bucket-accumulate MSM
+(ops/msm_pallas.py, accum='pallas').
+
+CPU strategy: the kernel BODY is ~30k flat vector ops — XLA:CPU takes many
+minutes to compile it even in pallas interpret mode (which jits internally),
+so CI tests exercise the exact row-level functions the kernel traces
+(_mont_mul/_mod_add/_mod_sub/_mixed_add) EAGERLY on tiny blocks against the
+host oracle, plus the host-side tiling/packing glue. The pallas_call
+plumbing itself (BlockSpecs, grid revisiting, SMEM scalar) is validated on
+real hardware: scripts/smoke_msm_pallas_tpu.py oracle-checks a small MSM and
+the production 2^16 path on the chip, and the recorded MSM bench runs
+accum='pallas' end-to-end (BENCH_MSM_r03.json)."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+
+from halo2_snark_aggregator_tpu.ff import bn254 as ff
+from halo2_snark_aggregator_tpu.ops import curve_rr as cv
+from halo2_snark_aggregator_tpu.ops import field_rr as frr
+from halo2_snark_aggregator_tpu.ops import msm as msm_mod
+from halo2_snark_aggregator_tpu.ops import msm_pallas as mp
+
+W = 4  # lanes per test block
+
+
+def _rows_from_int(v: int, lanes: int = W):
+    """Canonical Montgomery 16-limb rows, value broadcast to (1, lanes)."""
+    m = v * (1 << 256) % ff.P
+    return [jnp.full((1, lanes), (m >> (16 * k)) & 0xFFFF, jnp.uint32)
+            for k in range(16)]
+
+
+def _int_from_rows(rows, lane: int = 0) -> int:
+    m = sum(int(np.asarray(r)[0, lane]) << (16 * k)
+            for k, r in enumerate(rows))
+    return m * pow(1 << 256, -1, ff.P) % ff.P
+
+
+def test_row_field_ops_match_oracle():
+    rng = random.Random(31)
+    for _ in range(8):
+        a, b = rng.randrange(ff.P), rng.randrange(ff.P)
+        ra, rb = _rows_from_int(a), _rows_from_int(b)
+        assert _int_from_rows(mp._mont_mul(ra, rb)) == a * b % ff.P
+        assert _int_from_rows(mp._mod_add(ra, rb)) == (a + b) % ff.P
+        assert _int_from_rows(mp._mod_sub(ra, rb)) == (a - b) % ff.P
+        assert _int_from_rows(mp._mod_small(ra, 9)) == 9 * a % ff.P
+    # boundary values
+    for a, b in ((0, 0), (ff.P - 1, ff.P - 1), (ff.P - 1, 1), (0, ff.P - 1)):
+        ra, rb = _rows_from_int(a), _rows_from_int(b)
+        assert _int_from_rows(mp._mont_mul(ra, rb)) == a * b % ff.P
+        assert _int_from_rows(mp._mod_add(ra, rb)) == (a + b) % ff.P
+        assert _int_from_rows(mp._mod_sub(ra, rb)) == (a - b) % ff.P
+
+
+def test_mixed_add_rows_matches_oracle():
+    """RCB mixed add completeness on the exact traced function: generic,
+    doubling, inverse (-> identity), and identity-accumulator lanes."""
+    rng = random.Random(32)
+    p1 = ff.g1_mul(ff.G1_GEN, rng.randrange(1, ff.R))
+    p2 = ff.g1_mul(ff.G1_GEN, rng.randrange(1, ff.R))
+    cases = [(p1, p2), (p1, p1), (p1, ff.g1_neg(p1)), (None, p2)]
+    for acc_pt, q_pt in cases:
+        if acc_pt is None:
+            acc = (_rows_from_int(0), _rows_from_int(1), _rows_from_int(0))
+        else:
+            acc = (_rows_from_int(acc_pt[0]), _rows_from_int(acc_pt[1]),
+                   _rows_from_int(1))
+        q = (_rows_from_int(q_pt[0]), _rows_from_int(q_pt[1]))
+        x3, y3, z3 = mp._mixed_add(acc, q)
+        xi, yi, zi = (_int_from_rows(x3), _int_from_rows(y3),
+                      _int_from_rows(z3))
+        want = ff.g1_add(acc_pt, q_pt)
+        if want is None:
+            assert zi == 0
+        else:
+            assert zi != 0
+            z_inv = pow(zi, -1, ff.P)
+            assert (xi * z_inv % ff.P, yi * z_inv % ff.P) == want
+
+
+def test_tile_roundtrip():
+    rng = np.random.default_rng(33)
+    rb = 2 * mp.BLOCK
+    arr = jnp.asarray(rng.integers(0, 1 << 16, (16, rb), dtype=np.uint32))
+    tiled = mp._tile_value(arr)
+    assert tiled.shape == (2 * 16 * mp.SUB, mp.LANE)
+    assert np.array_equal(np.asarray(mp._untile_value(tiled, rb)),
+                          np.asarray(arr))
+    # lane l of block b lands at tile row (limb*SUB + l//LANE) of block b
+    l, limb, b = 321, 5, 1
+    got = np.asarray(tiled)[b * 128 + limb * mp.SUB + l // mp.LANE,
+                            l % mp.LANE]
+    assert got == np.asarray(arr)[limb, b * mp.BLOCK + l]
+    cnt = jnp.asarray(rng.integers(0, 99, (1, rb), dtype=np.int32))
+    ct = mp._tile_counts(cnt)
+    assert ct.shape == (2 * mp.SUB, mp.LANE)
+    assert np.array_equal(np.asarray(ct).reshape(-1), np.asarray(cnt)[0])
+
+
+def test_table_roundtrip():
+    rng = random.Random(21)
+    pts = [ff.g1_mul(ff.G1_GEN, rng.randrange(1, ff.R)) for _ in range(8)]
+    jpts = tuple(frr.with_bound(c, msm_mod.CARRY_BOUND)
+                 for c in cv.from_affine_ints(pts))
+    tx, _ty = mp.table_from_rr(jpts)
+    for i, (x, _y) in enumerate(pts):
+        limbs = np.asarray(tx)[i].astype(np.int64)
+        v = sum(int(l) << (16 * k) for k, l in enumerate(limbs))
+        assert v == x * (1 << 256) % ff.P  # canonical Montgomery form
+
+
+def test_rr_from_acc_roundtrip():
+    rng = random.Random(34)
+    vals = [rng.randrange(ff.P) for _ in range(4)]
+    arr = np.zeros((16, 4), np.uint32)
+    for i, v in enumerate(vals):
+        m = v * (1 << 256) % ff.P
+        arr[:, i] = [(m >> (16 * k)) & 0xFFFF for k in range(16)]
+    x = jnp.asarray(arr)
+    rr = mp.rr_from_acc((x, x, x), (4,))
+    assert rr[0].bound == 12  # matches ops/msm.py CARRY_BOUND pinning
+    assert frr.rr_to_host(frr.FQ, rr[0]) == vals
+
+
+def test_pregather_matches_plan():
+    """pregather16 fetches exactly the plan's (row, bucket, trip) points."""
+    rng = random.Random(35)
+    n = 32
+    pts = [ff.g1_mul(ff.G1_GEN, rng.randrange(1, ff.R)) for _ in range(n)]
+    jpts = tuple(frr.with_bound(c, msm_mod.CARRY_BOUND)
+                 for c in cv.from_affine_ints(pts))
+    scal = [rng.randrange(ff.R) for _ in range(n)]
+    from halo2_snark_aggregator_tpu.ops import field as fo
+
+    sn = fo.ints_to_limbs(scal)
+    order, starts, counts, weights = msm_mod.host_bucket_plan_split(sn, 4, 4)
+    tx, ty = mp.table_from_rr(jpts)
+    trips = 3
+    px, _py = mp.pregather16(tx, ty, jnp.asarray(order), jnp.asarray(starts),
+                             jnp.int32(0), trips, jnp.asarray(weights))
+    px = np.asarray(px)  # (T, 16, RB)
+    rows, nbuckets = counts.shape
+    tx_np = np.asarray(tx)
+    for t in range(trips):
+        for r in range(0, rows, 7):
+            for b in range(0, nbuckets, 5):
+                idx = min(starts[r, b] + t, n - 1)
+                pt_idx = order[weights[r], idx]
+                assert np.array_equal(px[t, :, r * nbuckets + b],
+                                      tx_np[pt_idx])
