@@ -54,7 +54,12 @@ def bench_msm():
         def run():
             return msm_mod.msm_fast(jpts, scal_np, c=c)  # host-finished
     else:
-        target = int(os.environ.get("BENCH_MSM_TARGET", "128"))
+        # adaptive split target by default: forcing target=128 at 2^20+
+        # multiplies the plan's row count ~40x and blew past HBM in the
+        # round-2 runs (rc=143); the adaptive default keeps rows*buckets
+        # bounded at every size
+        env_target = os.environ.get("BENCH_MSM_TARGET")
+        target = int(env_target) if env_target else None
 
         def run():
             return msm_mod.msm_staged_split(jpts, scal_np, c=c, target=target)

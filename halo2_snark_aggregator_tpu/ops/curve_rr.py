@@ -107,16 +107,32 @@ def decompress_g1_ys(xs_ints: list[int]):
 
 
 def to_affine_ints(p) -> list:
-    """Batched projective RR -> host affine int points (None = identity)."""
+    """Batched projective RR -> host affine int points (None = identity).
+
+    Montgomery batch inversion: one modular inverse + 3(n-1) mulmods for
+    the whole batch instead of one `pow(z, -1, p)` per point (the per-point
+    inversions dominated the MSM host-combine at ~0.2 ms each)."""
     xs = fr.rr_to_host(FQ, p[0])
     ys = fr.rr_to_host(FQ, p[1])
     zs = fr.rr_to_host(FQ, p[2])
+    nz = [z for z in zs if z != 0]
+    inv_of: dict[int, int] = {}
+    if nz:
+        prefix = [1]
+        for z in nz:
+            prefix.append(prefix[-1] * z % ff.P)
+        inv_all = pow(prefix[-1], -1, ff.P)
+        for i in range(len(nz) - 1, -1, -1):
+            inv_of[i] = prefix[i] * inv_all % ff.P
+            inv_all = inv_all * nz[i] % ff.P
     out = []
+    j = 0
     for x, y, z in zip(xs, ys, zs):
         if z == 0:
             out.append(None)
         else:
-            zi = pow(z, -1, ff.P)
+            zi = inv_of[j]
+            j += 1
             out.append((x * zi % ff.P, y * zi % ff.P))
     return out
 

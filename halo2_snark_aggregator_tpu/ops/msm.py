@@ -83,7 +83,7 @@ def host_bucket_plan(scalars_np: np.ndarray, c: int):
         # the production window width: digit w IS byte w of the scalar —
         # a zero-arithmetic view of the 16-bit limbs' little-endian bytes
         digits = np.ascontiguousarray(
-            scalars_np.astype(np.uint16).view(np.uint8).T
+            scalars_np.astype(np.uint16, order="C").view(np.uint8).T
         ).astype(np.int64)
     else:
         digits = np.zeros((windows, n), dtype=np.int64)
@@ -259,9 +259,16 @@ def msm_staged_split(points, scalars, c: int = 8, trips: int = 256,
             if counts_np.size else 1
         cap = max(1, min(512, load_cap, budget // (rb * 2 * 16 * 4)))
         cap = 1 << (cap.bit_length() - 1)  # pow2: bounds compile variants
-        acc = mp.msm_accumulate_pallas(points, order_np, starts_np,
-                                       counts_np, weights, trips_cap=cap)
-        totals = bucket_reduce_logdepth(acc, c=c)
+        if mp._on_tpu():
+            totals = mp.msm_totals_pallas(points, order_np, starts_np,
+                                          counts_np, weights, trips_cap=cap)
+        else:
+            # interpret-mode reduce is impractical to compile on CPU; the
+            # XLA log-depth reduce covers the fallback path
+            acc = mp.msm_accumulate_pallas(points, order_np, starts_np,
+                                           counts_np, weights,
+                                           trips_cap=cap)
+            totals = bucket_reduce_logdepth(acc, c=c)
         return combine_rows_host(totals, weights, c)
     max_load = int(counts_np.max()) if counts_np.size else 0
     # (W, N), shared across each window's rows; bounded-slice upload (one

@@ -181,13 +181,18 @@ def main(argv=None):
                                  ShaWrite(args.algo), seed=0)
             gen = generate(vk, params, proof, instances, algo=args.algo)
         assert gen.pairing_ok
+        from ..solidity.lint import lint_source
+
         src = render(gen, params, target_params=target_params)
         check_solidity(src)
+        lint_source(src)
         store.write_solidity(src)
         src_packed = render_packed(gen, params, target_params=target_params)
         check_solidity(src_packed)
         store.write_solidity(src_packed, "verifier_packed.sol")
         prog = encode_packed(gen)
+        lint_source(src_packed, has_body=False,
+                    packed_blob_bytes=len(prog.ops) + 32 * len(prog.cpool))
         # execute BOTH emitted sources (not just the IR) against the real
         # proof — the no-solc analog of the reference's waffle deploy+call
         # (Verifier.test.ts:39-71)

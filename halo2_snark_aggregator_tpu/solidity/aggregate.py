@@ -15,13 +15,16 @@ bytecode and calldata-processing gas:
   * `pack_sqr_chains`    — AggregateFrPowOptimizer analog: repeated-squaring
     chains -> `fr_sqr_chain` loops (aggregate_fr_pow.rs).
 
+  * `pack_ecc_runs`      — AggregateMulSeqOptimizer analog: runs of
+    consecutive-transcript-point `ecc_mul`+`ecc_add` accumulator folds ->
+    one `ecc_dot_pm` loop (aggregate_mul_seq.rs ForMMMMul; the multiopen
+    W folds produce these runs).
+
 Passes run on the SSA statement list BEFORE slot allocation: eliminated
 intermediate values simply never receive slots, and live intervals are
 computed over the packed list (the reference runs its pipeline after memory
 substitution; SSA-first is equivalent and keeps the liveness analysis in one
-place). The AggregateMulSeqOptimizer (strided ForMMMMul loops) has no
-counterpart yet — our MSM statements are already emitted as `ecc_mul`/
-`ecc_add` precompile calls rather than unrolled field ops.
+place).
 """
 
 from __future__ import annotations
@@ -210,13 +213,85 @@ def pack_dot(statements: list[Statement]) -> list[Statement]:
     return out
 
 
+ECC_RUN_CAP = 16   # scalar slots per packed moffs word
+ECC_RUN_MIN = 3
+
+
+def pack_ecc_runs(statements: list[Statement]) -> list[Statement]:
+    """AggregateMulSeqOptimizer analog (reference aggregate_mul_seq.rs:
+    ForMMMMul): collapse runs of
+
+        (tx, ty) = ecc_mul(proof[o], proof[o+1], m[s_i])
+        (ax, ay) = ecc_add(ax, ay, tx, ty)
+
+    with o advancing by exactly 2 per pair (consecutive transcript points —
+    the multiopen W-commitment folds emit exactly this) into a single
+    `ecc_dot_pm` loop statement. Scalars stay arbitrary memory slots and
+    are packed into one 16x16-bit offset word at render time, like
+    fr_dot_mt. Round 2 documented this optimizer away as moot; measuring a
+    real verifier found 5+ eligible runs, so it exists now."""
+    uses = _use_counts(statements)
+    out: list[Statement] = []
+    i = 0
+    n = len(statements)
+    while i < n:
+        run: list[tuple[int, Statement, Statement]] = []
+        acc0 = None
+        j = i
+        while j + 1 < n and len(run) < ECC_RUN_CAP:
+            m_st, a_st = statements[j], statements[j + 1]
+            if m_st.op != "ecc_mul" or a_st.op != "ecc_add":
+                break
+            px, py, sc = m_st.args
+            if (px.kind != "transcript" or py.kind != "transcript"
+                    or py.value != px.value + 1 or sc.kind != "var"):
+                break
+            if run and px.value != run[-1][0] + 2:
+                break
+            if (a_st.args[2].kind != "var"
+                    or a_st.args[2].value != m_st.dest[0]
+                    or a_st.args[3].kind != "var"
+                    or a_st.args[3].value != m_st.dest[1]):
+                break
+            if run:
+                prev_add = run[-1][2]
+                if (a_st.args[0].kind != "var"
+                        or a_st.args[0].value != prev_add.dest[0]
+                        or a_st.args[1].kind != "var"
+                        or a_st.args[1].value != prev_add.dest[1]):
+                    break
+                if (uses.get(prev_add.dest[0], 0) != 1
+                        or uses.get(prev_add.dest[1], 0) != 1):
+                    break
+            if (uses.get(m_st.dest[0], 0) != 1
+                    or uses.get(m_st.dest[1], 0) != 1):
+                break
+            if not run:
+                acc0 = (a_st.args[0], a_st.args[1])
+            run.append((px.value, m_st, a_st))
+            j += 2
+        if len(run) >= ECC_RUN_MIN:
+            last_add = run[-1][2]
+            scals = tuple(mst.args[2] for _o, mst, _a in run)
+            out.append(Statement(
+                "ecc_dot_pm", last_add.dest,
+                (acc0[0], acc0[1], Expr("const", run[0][0]),
+                 Expr("const", len(run))) + scals))
+            i = j
+        else:
+            out.append(statements[i])
+            i += 1
+    return out
+
+
 def optimize(cg: CodegenContext) -> dict[str, int]:
     """Run all group passes in place; returns per-pass statement savings."""
     stats = {}
     for name, fn in (("hash_runs", merge_hash_runs),
                      ("sqr_chains", pack_sqr_chains),
                      ("horner_pm", pack_horner),
-                     ("dot_mt", pack_dot)):
+                     ("dot_mt", pack_dot),
+                     ("ecc_runs", pack_ecc_runs)):
         before = len(cg.statements)
         cg.statements = fn(cg.statements)
         stats[name] = before - len(cg.statements)

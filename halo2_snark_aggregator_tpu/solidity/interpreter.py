@@ -95,6 +95,16 @@ class Interpreter:
                     t = self.transcript[(packed >> (16 * i)) & 0xFFFF]
                     acc = (acc + self._val(st.args[3 + i]) * t) % R
                 self.env[st.dest[0]] = acc
+            elif op == "ecc_dot_pm":
+                accp = self._point(st.args[0], st.args[1])
+                start, count = st.args[2].value, st.args[3].value
+                for i in range(count):
+                    x = self.transcript[start + 2 * i]
+                    y = self.transcript[start + 2 * i + 1]
+                    pt = None if (x, y) == (0, 0) else (x, y)
+                    accp = ff.g1_add(
+                        accp, ff.g1_mul(pt, self._val(st.args[4 + i])))
+                self._set_point(st, accp)
             elif op == "hash_points_run":
                 start, count = st.args[0].value, st.args[1].value
                 for i in range(count):

@@ -54,6 +54,7 @@ OPS = {
     "hash_scalar": 15,
     "hash_point": 16,
     "squeeze": 17,
+    "ecc_dot_pm": 18,
 }
 
 
@@ -160,6 +161,19 @@ def encode(gen: GeneratedVerifier) -> PackedProgram:
             enc.u16(enc.const_idx(st.args[1].value))  # packed proof offsets
             enc.u16(enc.const_idx(packed_m))   # packed memory slots
             enc.u16(st.args[2].value)          # count immediate
+        elif o == "ecc_dot_pm":
+            packed_m = 0
+            for i, e in enumerate(st.args[4:]):
+                s = slot_of[e.value]
+                assert s < (1 << 16)
+                packed_m |= s << (16 * i)
+            enc.dest(st.dest[0])
+            enc.dest(st.dest[1])
+            enc.u16(enc.operand(st.args[0]))   # acc x
+            enc.u16(enc.operand(st.args[1]))   # acc y
+            enc.u16(st.args[2].value)          # proof start immediate
+            enc.u16(enc.const_idx(packed_m))   # packed memory slots
+            enc.u16(st.args[3].value)          # count immediate
         elif o in ("hash_points_run", "hash_scalars_run"):
             enc.u16(st.args[0].value)          # start immediate
             enc.u16(st.args[1].value)          # count immediate
@@ -279,6 +293,16 @@ def run_packed(prog: PackedProgram, proof_words: list[int],
                 t = proof_words[(packed_t >> (16 * i)) & 0xFFFF]
                 acc = (acc + m[(packed_m >> (16 * i)) & 0xFFFF] * t) % R
             m[d] = acc
+        elif op == OPS["ecc_dot_pm"]:
+            dx, dy = u16(), u16()
+            accp = pt(ld(u16()), ld(u16()))
+            start, packed_m, count = u16(), prog.cpool[u16()], u16()
+            for i in range(count):
+                p = pt(proof_words[start + 2 * i],
+                       proof_words[start + 2 * i + 1])
+                accp = ff.g1_add(
+                    accp, ff.g1_mul(p, m[(packed_m >> (16 * i)) & 0xFFFF]))
+            set_pt(dx, dy, accp)
         elif op == OPS["hash_points_run"]:
             start, count = u16(), u16()
             for i in range(count):

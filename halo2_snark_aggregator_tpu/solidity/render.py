@@ -349,6 +349,21 @@ contract Verifier {{
                 bytes32 dg = {_hash_call(gen.algo)}(buf);
                 buf = abi.encodePacked(dg);
                 m[d] = digest_to_fr(dg);
+            }} else if (op == 18) {{
+                uint256 dx = ru16(ops, pc); pc += 2;
+                uint256 dy = ru16(ops, pc); pc += 2;
+                uint256 ax = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                uint256 ay = ld(ru16(ops, pc), proof, instances, m, cpool); pc += 2;
+                uint256 start = ru16(ops, pc); pc += 2;
+                uint256 pm = cword(cpool, ru16(ops, pc)); pc += 2;
+                uint256 n = ru16(ops, pc); pc += 2;
+                for (uint256 i = 0; i < n; i++) {{
+                    (uint256 tx, uint256 ty) = ecc_mul(proof[start + 2 * i],
+                        proof[start + 2 * i + 1], m[(pm >> (16 * i)) & 0xffff]);
+                    (ax, ay) = ecc_add(ax, ay, tx, ty);
+                }}
+                m[dx] = ax;
+                m[dy] = ay;
             }} else {{
                 revert("bad opcode");
             }}
@@ -436,6 +451,26 @@ def render(gen: GeneratedVerifier, params, target_params=None) -> str:
                  "proof[(toffs >> (16 * i)) & 0xffff], R_MOD), R_MOD);")
             emit("    }")
             emit(f"    m[{slot_of[st.dest[0]]}] = acc;")
+            emit("}")
+        elif st.op == "ecc_dot_pm":
+            start, count = st.args[2].value, st.args[3].value
+            m_slots = [slot_of[e.value] for e in st.args[4:]]
+            packed_m = 0
+            for i, s in enumerate(m_slots):
+                assert s < (1 << 16)
+                packed_m |= s << (16 * i)
+            emit("{")
+            emit(f"    uint256 accx = {a[0]};")
+            emit(f"    uint256 accy = {a[1]};")
+            emit(f"    uint256 moffs = {hex(packed_m)};")
+            emit(f"    for (uint256 i = 0; i < {count}; i++) {{")
+            emit(f"        (uint256 tx, uint256 ty) = ecc_mul("
+                 f"proof[{start} + 2 * i], proof[{start} + 2 * i + 1], "
+                 "m[(moffs >> (16 * i)) & 0xffff]);")
+            emit("        (accx, accy) = ecc_add(accx, accy, tx, ty);")
+            emit("    }")
+            emit(f"    m[{slot_of[st.dest[0]]}] = accx;")
+            emit(f"    m[{slot_of[st.dest[1]]}] = accy;")
             emit("}")
         elif st.op == "hash_points_run":
             start, count = st.args[0].value, st.args[1].value

@@ -81,6 +81,33 @@ def test_mixed_add_rows_matches_oracle():
             assert (xi * z_inv % ff.P, yi * z_inv % ff.P) == want
 
 
+def test_full_add_rows_matches_oracle():
+    """RCB complete projective+projective add (the reduce kernel's op):
+    generic, doubling, inverse, and identity operands."""
+    rng = random.Random(36)
+    p1 = ff.g1_mul(ff.G1_GEN, rng.randrange(1, ff.R))
+    p2 = ff.g1_mul(ff.G1_GEN, rng.randrange(1, ff.R))
+    cases = [(p1, p2), (p1, p1), (p1, ff.g1_neg(p1)), (None, p2), (p1, None),
+             (None, None)]
+
+    def proj(pt):
+        if pt is None:
+            return (_rows_from_int(0), _rows_from_int(1), _rows_from_int(0))
+        return (_rows_from_int(pt[0]), _rows_from_int(pt[1]),
+                _rows_from_int(1))
+
+    for a_pt, b_pt in cases:
+        x3, y3, z3 = mp._full_add(proj(a_pt), proj(b_pt))
+        xi, yi, zi = (_int_from_rows(x3), _int_from_rows(y3),
+                      _int_from_rows(z3))
+        want = ff.g1_add(a_pt, b_pt)
+        if want is None:
+            assert zi == 0
+        else:
+            z_inv = pow(zi, -1, ff.P)
+            assert (xi * z_inv % ff.P, yi * z_inv % ff.P) == want
+
+
 def test_tile_roundtrip():
     rng = np.random.default_rng(33)
     rb = 2 * mp.BLOCK
