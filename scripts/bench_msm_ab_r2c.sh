@@ -16,10 +16,14 @@ run_msm() { # size tag [env...]
 }
 
 {
-  run_msm 65536   s16_c8
+  # Baseline legs pin H2T_MSM_PREFETCH=0 explicitly: the repo default has
+  # since moved (pregather, then the Pallas accumulate), so an unset env
+  # would compare the new default against itself and mislabel the rows.
+  run_msm 65536   s16_c8      H2T_MSM_PREFETCH=0
   run_msm 65536   s16_c8_pre  H2T_MSM_PREFETCH=1
-  run_msm 65536   s16_c10     BENCH_MSM_C=10
-  run_msm 65536   s16_c12     BENCH_MSM_C=12
+  run_msm 65536   s16_c8_tree H2T_MSM_ACCUM=tree
+  run_msm 65536   s16_c10     BENCH_MSM_C=10 H2T_MSM_PREFETCH=0
+  run_msm 65536   s16_c12     BENCH_MSM_C=12 H2T_MSM_PREFETCH=0
   run_msm 65536   s16_c10_pre BENCH_MSM_C=10 H2T_MSM_PREFETCH=1
 } > /tmp/bench_msm_ab.jsonl
 echo "AB QUEUE DONE" >&2

@@ -6,7 +6,8 @@ Runs the PRODUCTION two-level Pippenger reduction (parallel/multihost.msm_hier
 point per host over DCN) on a virtual CPU mesh with a fixed 2^SIZE_LOG2-point
 workload, for mesh shapes (1,1), (1,2), (2,2), (2,4). Results (mean wall
 seconds per MSM after a warm-up compile, host-oracle-checked once) are
-written to BENCH_MULTIHOST_r02.json at the repo root.
+written to BENCH_MULTIHOST_r{ROUND}.json at the repo root (BENCH_ROUND env,
+default 03).
 
 Caveat recorded in the artifact: with 8 virtual devices on a 4-core host the
 absolute times measure XLA's threaded CPU emulation, not ICI/DCN; the curve's
@@ -104,7 +105,10 @@ def main():
                    "its overhead, not ICI/DCN bandwidth"),
         "rows": rows,
     }
-    with open(os.path.join(REPO, "BENCH_MULTIHOST_r02.json"), "w") as f:
+    if os.environ.get("BENCH_NOTE"):
+        out["note"] = os.environ["BENCH_NOTE"]
+    rnd = os.environ.get("BENCH_ROUND", "03")
+    with open(os.path.join(REPO, f"BENCH_MULTIHOST_r{rnd}.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
