@@ -22,6 +22,7 @@ per-device partial sums over ICI.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -144,6 +145,21 @@ def host_bucket_plan_split(scalars_np: np.ndarray, c: int,
         target = max(64, (n >> c) // 2)
     base_order, base_starts, base_counts = host_bucket_plan(scalars_np, c)
     windows = base_order.shape[0]
+
+    # Bound the TOTAL row count: skewed scalar distributions (the prover's
+    # polynomial coefficients pile most digits into a few buckets — unlike
+    # the bench's uniform scalars) can push R into the tens of thousands,
+    # and the accumulate wavefront's (R, B) CIOS temps then blow the HBM
+    # compile estimate (observed: R=16384 at c=8 -> XLA "Used 102.00G of
+    # 15.75G hbm" permanent compile error — the silent round-2 headline
+    # killer). Doubling `target` halves each window's row count: width is
+    # traded for serial depth, which the staged trip dispatches already
+    # bound. 1024 rows ~ 6.4G estimated live temps on a 16G v5e.
+    rows_cap = max(int(os.environ.get("H2T_MSM_ROWS_CAP", "1024")), windows)
+    maxcs = [int(base_counts[w].max()) if base_counts[w].size else 0
+             for w in range(windows)]
+    while sum(max(1, -(-m // target)) for m in maxcs) > rows_cap:
+        target *= 2
 
     # per-BUCKET segment split: row r of window w holds points
     # [start_b + r*target, start_b + min((r+1)*target, count_b)) of every
