@@ -318,6 +318,13 @@ def _cached_zkevm_proofs(k: int, nproofs: int, n_groups: int = 8):
     from halo2_snark_aggregator_tpu.prover.srs import setup_cached_accel
     from halo2_snark_aggregator_tpu.transcript.host import PoseidonWrite
 
+    # Pin the PROVER's staged MSM to the XLA pregather path: proving is not
+    # the timed metric (phases A/B never call msm_staged_split), and the
+    # Pallas accumulate's one-time Mosaic compile is 10-20 min on a cold
+    # 4-CPU box — enough to blow the driver's bench window when the proof
+    # caches are empty. BENCH_MSM still exercises the Pallas default.
+    os.environ.setdefault("H2T_MSM_ACCUM", "pre")
+
     params = setup_cached_accel(k)
     circuit = ZkevmShapeCircuit(k=k, seed=1, n_groups=n_groups)
     vk, apk = keygen_accel(circuit, k, params)
