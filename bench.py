@@ -384,13 +384,19 @@ def bench_zkevm_batched():
     from halo2_snark_aggregator_tpu.protocol.batched import BatchedVerifier
 
     k = int(os.environ.get("ZKEVM_K", "16"))
-    nproofs = int(os.environ.get("ZKEVM_NPROOFS", "32"))
+    # Default: 4 unique proofs tiled 8x to a batch-32 verify. Proving a
+    # K=16 proof costs minutes even warm (hours for 32 cold — how round 2's
+    # driver bench died and fell back to a host number); verification work
+    # is identical for duplicated lanes (full transcript replay, lambda
+    # scaling, MSM entries per lane), and the unit string records the
+    # tiling. ZKEVM_NPROOFS=32 ZKEVM_DUP=1 reproduces the round-2 shape.
+    nproofs = int(os.environ.get("ZKEVM_NPROOFS", "4"))
     params, vk, proofs = _cached_zkevm_proofs(k, nproofs)
     # ZKEVM_DUP=d tiles the proof set d times for batch-scaling experiments
     # (every lane still runs the full per-proof work — transcript replay,
     # lambda scaling, MSM entries — so duplicated lanes measure real
     # throughput; the unit string records the duplication)
-    dup = int(os.environ.get("ZKEVM_DUP", "1"))
+    dup = int(os.environ.get("ZKEVM_DUP", "8" if nproofs == 4 else "1"))
     proofs = proofs * dup
     nproofs *= dup
     proof_bytes = [p for p, _ in proofs]
