@@ -64,6 +64,28 @@ def main():
     shapes = [(1, 1), (1, 2), (2, 2), (2, 4)]
     rows = []
     affine_results = []
+
+    def flush(partial: bool):
+        out = {
+            "metric": "bn254_msm_scaling_multihost",
+            "workload": f"2^{size_log2} points, c={c}, fixed work",
+            "engine": "parallel/multihost.msm_hier (production RR kernels)",
+            "host": f"{os.cpu_count()} CPUs, 8 virtual XLA devices",
+            "caveat": ("virtual CPU mesh: absolute times are XLA CPU "
+                       "emulation; curve validates the two-level reduction "
+                       "structure and its overhead, not ICI/DCN bandwidth"),
+            "rows": rows,
+        }
+        if partial:
+            out["partial"] = "run interrupted before all mesh shapes"
+        if os.environ.get("BENCH_NOTE"):
+            out["note"] = os.environ["BENCH_NOTE"]
+        rnd = os.environ.get("BENCH_ROUND", "03")
+        with open(os.path.join(REPO, f"BENCH_MULTIHOST_r{rnd}.json"),
+                  "w") as f:
+            json.dump(out, f, indent=1)
+        return out
+
     for nh, nc in shapes:
         mesh = make_host_mesh(n_hosts=nh, chips_per_host=nc)
         ndev = nh * nc
@@ -94,23 +116,9 @@ def main():
         })
         print(f"mesh {nh}x{nc}: {dt:.3f}s/MSM ({n / dt:,.0f} pts/s, "
               f"compile {compile_s:.1f}s)", file=sys.stderr)
+        flush(partial=(nh, nc) != shapes[-1])
 
-    out = {
-        "metric": "bn254_msm_scaling_multihost",
-        "workload": f"2^{size_log2} points, c={c}, fixed work",
-        "engine": "parallel/multihost.msm_hier (production RR kernels)",
-        "host": f"{os.cpu_count()} CPUs, 8 virtual XLA devices",
-        "caveat": ("virtual CPU mesh: absolute times are XLA CPU emulation; "
-                   "curve validates the two-level reduction structure and "
-                   "its overhead, not ICI/DCN bandwidth"),
-        "rows": rows,
-    }
-    if os.environ.get("BENCH_NOTE"):
-        out["note"] = os.environ["BENCH_NOTE"]
-    rnd = os.environ.get("BENCH_ROUND", "03")
-    with open(os.path.join(REPO, f"BENCH_MULTIHOST_r{rnd}.json"), "w") as f:
-        json.dump(out, f, indent=1)
-    print(json.dumps(out))
+    print(json.dumps(flush(partial=False)))
 
 
 if __name__ == "__main__":
