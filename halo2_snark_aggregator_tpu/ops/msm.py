@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -158,8 +159,14 @@ def host_bucket_plan_split(scalars_np: np.ndarray, c: int,
     rows_cap = max(int(os.environ.get("H2T_MSM_ROWS_CAP", "1024")), windows)
     maxcs = [int(base_counts[w].max()) if base_counts[w].size else 0
              for w in range(windows)]
+    target_in = target
     while sum(max(1, -(-m // target)) for m in maxcs) > rows_cap:
         target *= 2
+    if target != target_in:
+        # an explicitly-passed target (e.g. a pinned A/B leg) was raised by
+        # the cap: say so, or the bench artifact's label lies (advisor r3)
+        print(f"msm split plan: rows cap {rows_cap} raised target "
+              f"{target_in} -> {target} (n={n}, c={c})", file=sys.stderr)
 
     # per-BUCKET segment split: row r of window w holds points
     # [start_b + r*target, start_b + min((r+1)*target, count_b)) of every
