@@ -187,7 +187,26 @@ def host_bucket_plan_split(scalars_np: np.ndarray, c: int,
 
     starts = np.stack(rows_starts)
     counts = np.stack(rows_counts)
-    return base_order, starts, counts, np.asarray(weights, dtype=np.int32)
+    weights = np.asarray(weights, dtype=np.int32)
+
+    # Pad the row count UP to a power of two (zero-count rows: every trip is
+    # masked off, and identity row totals vanish in combine_rows_host). The
+    # accumulate program's compiled shape is (R, B): without padding, every
+    # distinct scalar skew yields a distinct R and therefore a fresh
+    # multi-minute XLA (or Mosaic) compile — the accel prover's keygen
+    # commits dozens of fixed columns with dozens of distinct skews, which
+    # is how the round-3 driver bench burned its whole window compiling.
+    # Pow2 rounding collapses the variant set to {windows.., 1024}.
+    r = starts.shape[0]
+    r_pad = 1 << max(0, r - 1).bit_length()
+    if r_pad != r:
+        pad = r_pad - r
+        starts = np.concatenate(
+            [starts, np.zeros((pad, starts.shape[1]), starts.dtype)])
+        counts = np.concatenate(
+            [counts, np.zeros((pad, counts.shape[1]), counts.dtype)])
+        weights = np.concatenate([weights, np.zeros(pad, np.int32)])
+    return base_order, starts, counts, weights
 
 
 def combine_rows_host(totals, weights: np.ndarray, c: int):

@@ -153,7 +153,8 @@ class BatchedVerifier:
 
     def __init__(self, vk, params, batch: int, sample_proof: bytes,
                  sample_instances: list, msm_window: int = 8,
-                 mesh=None, mesh_axis: str = "shard"):
+                 mesh=None, mesh_axis: str = "shard",
+                 msm_impl: str | None = None):
         self.vk = vk
         self.params = params
         self.batch = batch
@@ -211,8 +212,11 @@ class BatchedVerifier:
         self.run_tape = jax.jit(compile_tape(tape, batch))
         self.msm_window = msm_window
         self._phase_b1 = jax.jit(self._build_phase_b1())
+        self.msm_impl = self._pick_msm_impl(msm_impl)
         if mesh is None:
             self._phase_b2 = jax.jit(self._build_phase_b2())
+            if self.msm_impl == "pallas":
+                self._warm_pallas_msm()
         else:
             self._phase_b2_one = self._build_phase_b2_sharded()
 
@@ -351,6 +355,75 @@ class BatchedVerifier:
 
         return phase_b1
 
+    # Pinned trip count for the Pallas phase-B accumulate: every distinct
+    # (blocks, trips) grid is its own multi-minute Mosaic compile, and the
+    # per-window max bucket load varies with the (scalar-dependent) plan.
+    # A fixed 32-trip dispatch looped host-side gives ONE compiled variant
+    # per block count; verifier-size loads (batch 32 x ~64 entries over 256
+    # buckets -> mean load 8) fit one or two dispatches.
+    PALLAS_TRIPS = 32
+
+    def _pick_msm_impl(self, msm_impl: str | None) -> str:
+        """Explicit arg > H2T_BV_MSM env > platform default (pallas on real
+        TPU — the fused VMEM kernels measured 3.7x the XLA seg-scan path at
+        2^16 in BENCH_MSM_r03 — scan elsewhere: CPU interpret-mode Mosaic is
+        impractical to compile, tests keep the XLA path)."""
+        import os
+
+        if msm_impl is None:
+            msm_impl = os.environ.get("H2T_BV_MSM", "") or None
+        if msm_impl is None:
+            try:
+                on_tpu = jax.devices()[0].platform == "tpu"
+            except Exception:
+                on_tpu = False
+            msm_impl = "pallas" if on_tpu else "scan"
+        if msm_impl not in ("pallas", "scan"):
+            raise ValueError(f"unknown msm_impl {msm_impl!r}")
+        return msm_impl
+
+    def _pallas_shapes(self):
+        """(windows, nbuckets, padded point count) of the phase-B MSMs."""
+        windows = -(-ff.R.bit_length() // self.msm_window)
+        return windows, 1 << self.msm_window
+
+    def _warm_pallas_msm(self):
+        """Compile the two Mosaic kernels (accumulate grid + bucket-reduce
+        grid) at construction with zero operands, so no verify() call — and
+        in particular no driver bench window — pays the one-time compile.
+        Both grids are batch-size-independent: the standard bucket plan has
+        `windows` rows and 2^c buckets regardless of how many entries the
+        flattened MSM has."""
+        from ..ops import msm_pallas as mp
+
+        windows, nbuckets = self._pallas_shapes()
+        n = max(self._padded_n(len(e)) for e, _l in self.msm_plans)
+        zero_pts = tuple(
+            fr.with_bound(c, msm_mod.CARRY_BOUND)
+            for c in cvr.from_affine_ints([None] * n))
+        order = np.zeros((windows, n), np.int32)
+        starts = np.zeros((windows, nbuckets), np.int32)
+        counts = np.zeros((windows, nbuckets), np.int32)
+        counts[:, 1] = 1  # one masked trip: max_load 0 would skip the kernel
+        mp.msm_totals_pallas(zero_pts, order, starts, counts, None,
+                             trips_cap=self.PALLAS_TRIPS)
+
+    def _run_phase_b2_pallas(self, device_pts, scal16s):
+        """Phase B2 via the fused Pallas kernels (ops/msm_pallas.py): host
+        bucket plan -> pregather -> VMEM bucket accumulate -> VMEM serial
+        bucket reduce. Returns per-window projective RR totals, same shape
+        contract as the XLA seg-scan path."""
+        from ..ops import msm_pallas as mp
+
+        outs = []
+        for pts, scal16 in zip(device_pts, scal16s):
+            order, starts, counts = msm_mod.host_bucket_plan(
+                np.asarray(scal16), self.msm_window)
+            outs.append(mp.msm_totals_pallas(
+                pts, order, starts, counts, None,
+                trips_cap=self.PALLAS_TRIPS))
+        return outs
+
     def _build_phase_b2(self):
         window = self.msm_window
 
@@ -485,6 +558,8 @@ class BatchedVerifier:
         mark("phase_b1", scal16s[0])
         if self.mesh is not None:
             outs = self._run_phase_b2_sharded(device_pts, scal16s)
+        elif self.msm_impl == "pallas":
+            outs = self._run_phase_b2_pallas(device_pts, scal16s)
         else:
             plans_dev = []
             for scal16 in scal16s:
