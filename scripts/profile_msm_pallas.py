@@ -34,7 +34,9 @@ tx, ty = mp.table_from_rr(jpts)
 mat(tx)
 rows, nbuckets = counts_np.shape
 rb = rows * nbuckets
-rb_pad = ((rb + mp.BLOCK - 1) // mp.BLOCK) * mp.BLOCK
+nb_p = (rb + mp.BLOCK - 1) // mp.BLOCK
+nb_p = 1 << max(0, nb_p - 1).bit_length()  # match _accumulate_tiled pow2
+rb_pad = nb_p * mp.BLOCK
 from halo2_snark_aggregator_tpu.ops import field as fo
 order = fo.np_to_dev(order_np)
 starts = jnp.asarray(starts_np)
@@ -97,6 +99,17 @@ print(f"reduce: {time.time()-t0:.3f}s", file=sys.stderr)
 t0 = time.time()
 res = msm_mod.combine_rows_host(totals, weights, c)
 print(f"combine_host: {time.time()-t0:.3f}s", file=sys.stderr)
+
+# Pallas serial bucket reduce (the production totals path)
+tot_p = mp.msm_totals_pallas(jpts, order_np, starts_np, counts_np, weights,
+                             trips_cap=cap)
+mat(tot_p[0].limbs)
+t0 = time.time()
+tot_p = mp.msm_totals_pallas(jpts, order_np, starts_np, counts_np, weights,
+                             trips_cap=cap)
+mat(tot_p[0].limbs)
+print(f"accum+reduce pallas (all dispatches): {time.time()-t0:.3f}s",
+      file=sys.stderr)
 
 t0 = time.time()
 res = msm_mod.msm_staged_split(jpts, scal_np, c=8, accum="pallas")
