@@ -71,7 +71,33 @@ def _varying_identity(ref: fr.RR, shape):
     ))
 
 
-def host_bucket_plan(scalars_np: np.ndarray, c: int):
+def signed_recode(digits: np.ndarray, c: int):
+    """Unsigned window digits (W, N) -> signed-digit recoding (mags, signs).
+
+    d'_w = d_w + carry in (-(2^(c-1)-1) .. 2^(c-1)]: digits above half the
+    window range borrow from the next window (sum_w 2^(cw) d'_w invariant).
+    Halves the live bucket range: |d'| <= 2^(c-1), so a signed plan needs
+    2^(c-1)+1 bucket slots instead of 2^c (the classic signed-digit
+    Pippenger trick; the sign rides into the accumulate as a y-negation).
+    Requires headroom in the top window (true for 254-bit scalars at c=8:
+    top digit <= 63) — asserts no final carry escapes."""
+    half = 1 << (c - 1)
+    full = 1 << c
+    mags = np.empty_like(digits)
+    signs = np.empty(digits.shape, dtype=np.int32)
+    carry = np.zeros(digits.shape[1], dtype=digits.dtype)
+    for w in range(digits.shape[0]):
+        d = digits[w] + carry
+        flip = d > half
+        carry = flip.astype(digits.dtype)
+        sd = np.where(flip, d - full, d)
+        mags[w] = np.abs(sd)
+        signs[w] = (sd < 0).astype(np.int32)
+    assert not carry.any(), "signed recode overflowed the top window"
+    return mags, signs
+
+
+def host_bucket_plan(scalars_np: np.ndarray, c: int, signed: bool = False):
     """Host-side bucket planning (numpy): digit extraction, per-window sort,
     bucket starts/counts. Sorting on device (argsort + vmapped searchsorted)
     compiled for minutes and, combined with the accumulation loop, faulted
@@ -98,16 +124,23 @@ def host_bucket_plan(scalars_np: np.ndarray, c: int):
             if off + c > fo.LIMB_BITS and limb + 1 < fo.LIMBS:
                 v = v | (vals[:, limb + 1] << (fo.LIMB_BITS - off))
             digits[w] = v & mask
+    signs = None
+    if signed:
+        digits, signs = signed_recode(digits, c)
+        nbuckets = (1 << (c - 1)) + 1
+    else:
+        nbuckets = 1 << c
     # per-ROW narrow-int argsort: numpy dispatches 1-D stable integer sorts
     # to an O(N) radix sort, but NOT the axis=1 2-D form (measured 14x
     # slower at 2^20); uint8/uint16 keys make the radix passes cheap
     assert c <= 14, "digit must fit int16 for the radix argsort"
-    small = digits.astype(np.uint8 if c <= 8 else np.uint16)
+    small = digits.astype(np.uint8 if digits.max(initial=0) < 256
+                          else np.uint16)
     order = np.stack([
         np.argsort(small[w], kind="stable") for w in range(windows)
     ]).astype(np.int32)
     sorted_digits = np.take_along_axis(digits, order, axis=1)
-    bucket_ids = np.arange(1 << c)
+    bucket_ids = np.arange(nbuckets)
     starts = np.stack([
         np.searchsorted(sorted_digits[w], bucket_ids, side="left")
         for w in range(windows)
@@ -118,11 +151,19 @@ def host_bucket_plan(scalars_np: np.ndarray, c: int):
     ]).astype(np.int32)
     counts = (ends - starts).astype(np.int32)
     counts[:, 0] = 0  # digit 0 contributes nothing
+    if signed:
+        # pack each point's per-window digit sign into bit 31 of its order
+        # entry; consumers that understand signed plans (msm_pallas
+        # pregather16) decode idx = e & 0x7FFFFFFF, sign = e < 0 and fold
+        # the sign into a base-field y-negation at gather time
+        sign_sorted = np.take_along_axis(signs, order, axis=1)
+        order = (order | (sign_sorted << 31)).astype(np.int32)
     return order, starts, counts
 
 
 def host_bucket_plan_split(scalars_np: np.ndarray, c: int,
-                           target: int | None = None):
+                           target: int | None = None,
+                           signed: bool = False):
     """Load-balanced bucket plan: like host_bucket_plan, but any window whose
     max bucket load exceeds `target` is split into several accumulator ROWS
     (equal ranges of its digit-sorted point list), each carrying the window's
@@ -144,7 +185,8 @@ def host_bucket_plan_split(scalars_np: np.ndarray, c: int,
         # ~half the uniform per-bucket load: halves the trip count while
         # keeping row count (VPU batch width) moderate
         target = max(64, (n >> c) // 2)
-    base_order, base_starts, base_counts = host_bucket_plan(scalars_np, c)
+    base_order, base_starts, base_counts = host_bucket_plan(
+        scalars_np, c, signed=signed)
     windows = base_order.shape[0]
 
     # Bound the TOTAL row count: skewed scalar distributions (the prover's
@@ -239,7 +281,7 @@ def combine_rows_host(totals, weights: np.ndarray, c: int):
 
 def msm_staged_split(points, scalars, c: int = 8, trips: int = 256,
                      target: int | None = None, prefetch: bool | None = None,
-                     accum: str | None = None):
+                     accum: str | None = None, signed: bool | None = None):
     """Load-balanced staged MSM: split bucket plan -> bounded accumulate
     dispatches -> log-depth bucket reduce -> host window combine. The right
     default for commit-size N on the real chip: serial depth ~target for
@@ -278,8 +320,15 @@ def msm_staged_split(points, scalars, c: int = 8, trips: int = 256,
         except Exception:
             on_tpu = False
         accum = "pallas" if on_tpu else "pre"
+    if signed is None:
+        env_signed = os.environ.get("H2T_MSM_SIGNED")
+        signed = bool(int(env_signed)) if env_signed else False
+    if signed and accum != "pallas":
+        # only the Pallas pregather decodes the bit-31 sign packing; the
+        # XLA accum paths would gather garbage indices
+        signed = False
     order_np, starts_np, counts_np, weights = host_bucket_plan_split(
-        np.asarray(scalars), c, target)
+        np.asarray(scalars), c, target, signed=signed)
     if accum == "pallas":
         # fused-VMEM bucket accumulate (ops/msm_pallas.py): the XLA limb
         # path is HBM-bound on materialized CIOS temps; the kernel keeps
@@ -303,13 +352,14 @@ def msm_staged_split(points, scalars, c: int = 8, trips: int = 256,
         cap = 1 << (cap.bit_length() - 1)  # pow2: bounds compile variants
         if mp._on_tpu():
             totals = mp.msm_totals_pallas(points, order_np, starts_np,
-                                          counts_np, weights, trips_cap=cap)
+                                          counts_np, weights, trips_cap=cap,
+                                          signed=signed)
         else:
             # interpret-mode reduce is impractical to compile on CPU; the
             # XLA log-depth reduce covers the fallback path
             acc = mp.msm_accumulate_pallas(points, order_np, starts_np,
                                            counts_np, weights,
-                                           trips_cap=cap)
+                                           trips_cap=cap, signed=signed)
             totals = bucket_reduce_logdepth(acc, c=c)
         return combine_rows_host(totals, weights, c)
     max_load = int(counts_np.max()) if counts_np.size else 0
@@ -712,7 +762,9 @@ def bucket_reduce_logdepth(acc, c: int):
     prefix-sum scan whose last element is the total. Both scans are
     Hillis-Steele fori_loops with traced shifts (one point-add trace
     each)."""
-    nbuckets = 1 << c
+    # bucket count from the accumulator axis, NOT 1<<c: a signed-digit plan
+    # (host_bucket_plan signed=True) carries 2^(c-1)+1 buckets
+    nbuckets = acc[0].limbs.shape[1]
     ident = _varying_identity(acc[0], (acc[0].limbs.shape[0], 1))
     levels = max(nbuckets - 1, 1).bit_length()
 

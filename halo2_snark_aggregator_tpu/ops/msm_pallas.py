@@ -474,13 +474,35 @@ def rr_from_acc(acc_xyz, shape, bound: int = 12):
     return tuple(out)
 
 
+def _neg_y16_where(sign, y_rows):
+    """where(sign, p - y, y) on (M, 16) canonical 16-bit limbs (uint32).
+
+    16-step borrow chain, fully vectorized (static unroll). Intermediate
+    uint32 wraparound encodes the borrow: each step's value fits
+    [-(2^16), 2^16), so bit 16 of the wrapped result IS the borrow. y = 0
+    (identity table rows) yields p — non-canonical, but identity rows are
+    only ever gathered count-masked."""
+    outs = []
+    borrow = jnp.uint32(0)
+    for i in range(LIMBS):
+        t = jnp.uint32(_P_ROWS[i]) - y_rows[:, i] - borrow
+        outs.append(t & MASK)
+        borrow = (t >> LIMB_BITS) & 1
+    neg = jnp.stack(outs, axis=1)
+    return jnp.where(sign[:, None], neg, y_rows)
+
+
 def pregather16(table_x, table_y, order, starts, t0, trips: int,
-                row_window=None):
+                row_window=None, signed: bool = False):
     """Gather `trips` steps' (R, B) affine points in one program, limb-major.
 
     Mirrors ops/msm.py `_pregather` (shared sorted order across a window's
     rows) but over the canonical (N, 16) tables; returns uint32[T, 16, RB]
-    x2. The (N, 16) row gather is one contiguous 64-byte row per lane."""
+    x2. The (N, 16) row gather is one contiguous 64-byte row per lane.
+
+    signed=True consumes a signed-digit plan (ops/msm.host_bucket_plan
+    signed=True): bit 31 of each order entry is the digit sign, folded here
+    into a y -> p - y negation so the accumulate kernel needs no change."""
     n = table_x.shape[0]
     rows, nbuckets = starts.shape
     ts = t0 + jnp.arange(trips, dtype=jnp.int32)
@@ -491,17 +513,25 @@ def pregather16(table_x, table_y, order, starts, t0, trips: int,
     else:
         point_idx = order.reshape(-1)[
             row_window[:, None] * order.shape[1] + idx_rows]
-    flat_idx = jnp.transpose(
+    flat_raw = jnp.transpose(
         point_idx.reshape(rows, trips, nbuckets), (1, 0, 2)
     ).reshape(-1)
+    if signed:
+        flat_idx = flat_raw & jnp.int32(0x7FFFFFFF)
+        sign_flat = flat_raw < 0
+    else:
+        flat_idx = flat_raw
+        sign_flat = None
     rb = rows * nbuckets
 
-    def g(tab):
+    def g(tab, negate=False):
         rows_g = tab[flat_idx]                       # (T*RB, 16)
+        if negate:
+            rows_g = _neg_y16_where(sign_flat, rows_g)
         lm = jnp.transpose(rows_g.reshape(trips, rb, LIMBS), (0, 2, 1))
         return lm                                    # (T, LIMBS, RB)
 
-    return g(table_x), g(table_y)
+    return g(table_x), g(table_y, negate=signed)
 
 
 def _pad_rb(arr_2d, rb_pad):
@@ -521,11 +551,12 @@ def _on_tpu() -> bool:
 
 def msm_accumulate_pallas(points, order_np, starts_np, counts_np, weights,
                           trips_cap: int = 128,
-                          interpret: bool | None = None):
+                          interpret: bool | None = None,
+                          signed: bool = False):
     """Bucket-accumulate via the fused kernel; returns the (R, B) projective
     RR accumulator for ops/msm.py bucket_reduce_logdepth."""
     acc, rb_pad = _accumulate_tiled(points, order_np, starts_np, counts_np,
-                                    weights, trips_cap, interpret)
+                                    weights, trips_cap, interpret, signed)
     rows, nbuckets = counts_np.shape
     rb = rows * nbuckets
     acc = tuple(_untile_value(comp, rb_pad)[:, :rb] for comp in acc)
@@ -534,13 +565,14 @@ def msm_accumulate_pallas(points, order_np, starts_np, counts_np, weights,
 
 def msm_totals_pallas(points, order_np, starts_np, counts_np, weights,
                       trips_cap: int = 128,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None,
+                      signed: bool = False):
     """Accumulate + serial bucket reduce, both as VMEM kernels; returns the
     per-row projective totals (RR, shape (rows,)) for combine_rows_host.
     Replaces the XLA log-depth reduce (~0.16 s at 2^16 on HBM-materialized
     RR adds) with a ~B-step in-VMEM sweep."""
     acc, rb_pad = _accumulate_tiled(points, order_np, starts_np, counts_np,
-                                    weights, trips_cap, interpret)
+                                    weights, trips_cap, interpret, signed)
     rows, nbuckets = counts_np.shape
     rb = rows * nbuckets
     nbr = max(1, -(-rows // BLOCK))
@@ -562,7 +594,8 @@ def msm_totals_pallas(points, order_np, starts_np, counts_np, weights,
 
 def _accumulate_tiled(points, order_np, starts_np, counts_np, weights,
                       trips_cap: int = 128,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None,
+                      signed: bool = False):
     """Shared accumulate driver; returns (tiled acc triple, rb_pad)."""
     if interpret is None:
         interpret = not _on_tpu()
@@ -593,7 +626,7 @@ def _accumulate_tiled(points, order_np, starts_np, counts_np, weights,
     t = 0
     while t < max_load:
         pre_x, pre_y = pregather16(tx, ty, order, starts, jnp.int32(t),
-                                   trips_cap, row_window)
+                                   trips_cap, row_window, signed=signed)
         pre_x = _tile_value(_pad_rb(pre_x, rb_pad)).reshape(-1, LANE)
         pre_y = _tile_value(_pad_rb(pre_y, rb_pad)).reshape(-1, LANE)
         acc = accum_steps_pallas(pre_x, pre_y, counts_flat, acc,

@@ -385,7 +385,19 @@ class BatchedVerifier:
     def _pallas_shapes(self):
         """(windows, nbuckets, padded point count) of the phase-B MSMs."""
         windows = -(-ff.R.bit_length() // self.msm_window)
+        if self._signed_plan():
+            return windows, (1 << (self.msm_window - 1)) + 1
         return windows, 1 << self.msm_window
+
+    @staticmethod
+    def _signed_plan() -> bool:
+        """Signed-digit bucket plan for the Pallas phase B (H2T_BV_SIGNED=1):
+        halves the bucket count, so the serial VMEM reduce sweep halves and
+        small-batch bucket occupancy doubles. Off by default pending an
+        on-chip A/B (each setting is its own Mosaic grid variant)."""
+        import os
+
+        return bool(int(os.environ.get("H2T_BV_SIGNED", "0") or 0))
 
     def _warm_pallas_msm(self):
         """Compile the two Mosaic kernels (accumulate grid + bucket-reduce
@@ -406,7 +418,8 @@ class BatchedVerifier:
         counts = np.zeros((windows, nbuckets), np.int32)
         counts[:, 1] = 1  # one masked trip: max_load 0 would skip the kernel
         mp.msm_totals_pallas(zero_pts, order, starts, counts, None,
-                             trips_cap=self.PALLAS_TRIPS)
+                             trips_cap=self.PALLAS_TRIPS,
+                             signed=self._signed_plan())
 
     def _run_phase_b2_pallas(self, device_pts, scal16s):
         """Phase B2 via the fused Pallas kernels (ops/msm_pallas.py): host
@@ -415,13 +428,14 @@ class BatchedVerifier:
         contract as the XLA seg-scan path."""
         from ..ops import msm_pallas as mp
 
+        signed = self._signed_plan()
         outs = []
         for pts, scal16 in zip(device_pts, scal16s):
             order, starts, counts = msm_mod.host_bucket_plan(
-                np.asarray(scal16), self.msm_window)
+                np.asarray(scal16), self.msm_window, signed=signed)
             outs.append(mp.msm_totals_pallas(
                 pts, order, starts, counts, None,
-                trips_cap=self.PALLAS_TRIPS))
+                trips_cap=self.PALLAS_TRIPS, signed=signed))
         return outs
 
     def _build_phase_b2(self):

@@ -36,6 +36,13 @@ want = ff.g1_msm(pts, scal)
 assert got == want, "MISMATCH on small MSM"
 print("small MSM matches oracle", file=sys.stderr)
 
+t0 = time.time()
+got_s = msm_mod.msm_staged_split(jpts, sn, c=8, accum="pallas", signed=True)
+print(f"small signed msm (compile+run): {time.time()-t0:.1f}s",
+      file=sys.stderr)
+assert got_s == want, "MISMATCH on small SIGNED MSM"
+print("small signed MSM matches oracle", file=sys.stderr)
+
 # --- timing probe: 2^16 ---
 from __graft_entry__ import _example_msm_inputs
 

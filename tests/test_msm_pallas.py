@@ -178,3 +178,116 @@ def test_pregather_matches_plan():
                 pt_idx = order[weights[r], idx]
                 assert np.array_equal(px[t, :, r * nbuckets + b],
                                       tx_np[pt_idx])
+
+
+def test_signed_recode_invariant():
+    """sum_w 2^(cw) d'_w reconstructs the scalar; |d'| <= 2^(c-1)."""
+    rng = random.Random(51)
+    from halo2_snark_aggregator_tpu.ops import field as fo
+
+    for c in (4, 8):
+        scal = [rng.randrange(ff.R) for _ in range(64)] + [0, 1, ff.R - 1]
+        sn = fo.ints_to_limbs(scal)
+        windows = (fo.NBITS + c - 1) // c
+        digits = np.zeros((windows, len(scal)), dtype=np.int64)
+        for w in range(windows):
+            for i, s in enumerate(scal):
+                digits[w, i] = (s >> (w * c)) & ((1 << c) - 1)
+        mags, signs = msm_mod.signed_recode(digits.copy(), c)
+        assert mags.max() <= 1 << (c - 1)
+        for i, s in enumerate(scal):
+            v = sum(
+                (1 << (c * w)) * int(mags[w, i]) * (-1 if signs[w, i] else 1)
+                for w in range(windows)
+            )
+            assert v == s, (c, i)
+        del sn
+
+
+def test_signed_plan_reconstructs_msm():
+    """Signed split plan semantics vs the host oracle: replaying the plan's
+    (order|sign, starts, counts, weights) with bigint point arithmetic
+    (bucket-weighted sums, sign as y-negation) must reproduce the MSM."""
+    rng = random.Random(52)
+    n = 48
+    c = 4
+    pts = [ff.g1_mul(ff.G1_GEN, rng.randrange(1, ff.R)) for _ in range(n)]
+    scal = [rng.randrange(ff.R) for _ in range(n - 2)] + [0, ff.R - 1]
+    from halo2_snark_aggregator_tpu.ops import field as fo
+
+    sn = fo.ints_to_limbs(scal)
+    order, starts, counts, weights = msm_mod.host_bucket_plan_split(
+        sn, c, 4, signed=True)
+    rows, nbuckets = counts.shape
+    assert nbuckets == (1 << (c - 1)) + 1
+    total = None
+    for r in range(rows):
+        w = int(weights[r])
+        row_sum = None
+        for b in range(nbuckets):
+            s_b = None
+            for t in range(int(counts[r, b])):
+                e = int(order[w, int(starts[r, b]) + t])
+                idx = e & 0x7FFFFFFF
+                sign = e < 0
+                p = pts[idx]
+                if sign:
+                    p = (p[0], (-p[1]) % ff.P)
+                s_b = ff.g1_add(s_b, p)
+            if s_b is not None:
+                for _ in range(b):
+                    row_sum = ff.g1_add(row_sum, s_b)
+        if row_sum is not None:
+            for _ in range(c * w):
+                row_sum = ff.g1_double(row_sum)
+            total = ff.g1_add(total, row_sum)
+    expected = ff.g1_msm(pts, scal)
+    assert total == expected
+
+
+def test_pregather_signed_negates_y():
+    """pregather16(signed=True) strips the sign bit for the index and
+    returns p - y for negative-digit entries."""
+    rng = random.Random(53)
+    n = 32
+    c = 4
+    pts = [ff.g1_mul(ff.G1_GEN, rng.randrange(1, ff.R)) for _ in range(n)]
+    jpts = tuple(frr.with_bound(cc, msm_mod.CARRY_BOUND)
+                 for cc in cv.from_affine_ints(pts))
+    scal = [rng.randrange(ff.R) for _ in range(n)]
+    from halo2_snark_aggregator_tpu.ops import field as fo
+
+    sn = fo.ints_to_limbs(scal)
+    order, starts, counts, weights = msm_mod.host_bucket_plan_split(
+        sn, c, 4, signed=True)
+    tx, ty = mp.table_from_rr(jpts)
+    trips = 3
+    px, py = mp.pregather16(tx, ty, jnp.asarray(order), jnp.asarray(starts),
+                            jnp.int32(0), trips, jnp.asarray(weights),
+                            signed=True)
+    px, py = np.asarray(px), np.asarray(py)
+    rows, nbuckets = counts.shape
+    tx_np, ty_np = np.asarray(tx), np.asarray(ty)
+
+    def limbs_to_int(limbs16):
+        return sum(int(v) << (16 * k) for k, v in enumerate(limbs16))
+
+    checked_neg = 0
+    for t in range(trips):
+        for r in range(rows):
+            for b in range(nbuckets):
+                if t >= counts[r, b]:
+                    continue
+                e = int(order[int(weights[r]), int(starts[r, b]) + t])
+                idx = e & 0x7FFFFFFF
+                sign = e < 0
+                assert np.array_equal(px[t, :, r * nbuckets + b],
+                                      tx_np[idx])
+                y = limbs_to_int(ty_np[idx])
+                got_y = limbs_to_int(py[t, :, r * nbuckets + b])
+                if sign:
+                    assert got_y == (ff.P - y) % ff.P
+                    checked_neg += 1
+                else:
+                    assert got_y == y
+    assert checked_neg > 0  # the plan produced some negative digits
