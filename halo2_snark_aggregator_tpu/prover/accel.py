@@ -283,17 +283,51 @@ class AccelParams:
                            commit_mode=commit_mode)
 
     def _use_host_msm(self) -> bool:
-        if self.commit_mode == "host":
+        import os
+
+        mode = os.environ.get("H2T_COMMIT", "") or self.commit_mode
+        if mode == "host":
             return True
-        return (self.commit_mode == "auto" and self.host is not None
-                and self.k <= self.HOST_MSM_MAX_K)
+        if mode != "auto":
+            return False
+        if self.host is not None and self.k <= self.HOST_MSM_MAX_K:
+            return True
+        # With the native C++ Pippenger loaded, the host commit beats the
+        # device path up to much larger k (measured 0.6 s at 2^16 uniform,
+        # 0.13 s skewed, vs minutes on device for SKEWED coefficient
+        # scalars: the split plan's (row, bucket) lanes go ~99% idle when
+        # most digits pile into a few buckets — the round-3 driver bench
+        # burned its window exactly here, in keygen's fixed-column commits).
+        # Prover commits are not the benched metric; robustness wins.
+        max_k = int(os.environ.get("H2T_COMMIT_HOST_MAX_K", "17"))
+        if self.k <= max_k and (self.host is not None
+                                or self.g_dev is not None):
+            from .. import native
+
+            return native.available()
+        return False
+
+    def g_host_points(self) -> list:
+        """Affine int SRS points for host commits; reconstructed lazily from
+        the device limbs when the AccelParams came from the npz SRS cache
+        (which stores no host ParamsKZG)."""
+        if self.host is not None:
+            return self.host.g
+        cached = getattr(self, "_g_host", None)
+        if cached is None:
+            # the device SRS triple is PROJECTIVE (fixed_base_msm's add tree
+            # leaves z != 1): batch-invert to affine, do not assume z = 1
+            host = tuple(frr.RR(np.asarray(comp.limbs), comp.bound)
+                         for comp in self.g_dev)
+            cached = self._g_host = cv.to_affine_ints(host)
+        return cached
 
     def commit_coeff_mont(self, coeffs_mont, pad_to: int | None = None):
         """Commit a device Montgomery coefficient vector; returns affine int
         point or None (identity)."""
         if self._use_host_msm():
             scalars = mont_to_ints(coeffs_mont)
-            return ff.g1_msm(self.host.g[: len(scalars)], scalars)
+            return ff.g1_msm(self.g_host_points()[: len(scalars)], scalars)
         m = coeffs_mont.shape[0]
         scalars = np.zeros((self.n, 16), dtype=np.uint32)
         scalars[:m] = dev_to_np(m_from_mont(jnp.asarray(coeffs_mont)))
