@@ -127,7 +127,12 @@ def host_bucket_plan(scalars_np: np.ndarray, c: int, signed: bool = False):
     signs = None
     if signed:
         digits, signs = signed_recode(digits, c)
-        nbuckets = (1 << (c - 1)) + 1
+        # SHIFTED slot layout: slot s holds magnitude s+1 (mag 0 drops out
+        # before slot 0's start), so the bucket axis is 2^(c-1) — a power
+        # of two, keeping the Pallas lane blocks pow2 (129 slots would
+        # round the block grid UP 2x). Totals are sum_s (s+1)*S_s: the
+        # serial reduce includes slot 0 in its sweep (include_zero).
+        nbuckets = 1 << (c - 1)
     else:
         nbuckets = 1 << c
     # per-ROW narrow-int argsort: numpy dispatches 1-D stable integer sorts
@@ -140,7 +145,8 @@ def host_bucket_plan(scalars_np: np.ndarray, c: int, signed: bool = False):
         np.argsort(small[w], kind="stable") for w in range(windows)
     ]).astype(np.int32)
     sorted_digits = np.take_along_axis(digits, order, axis=1)
-    bucket_ids = np.arange(nbuckets)
+    # signed: slot s <- magnitude s+1 (shifted); unsigned: slot b <- digit b
+    bucket_ids = np.arange(1, nbuckets + 1) if signed else np.arange(nbuckets)
     starts = np.stack([
         np.searchsorted(sorted_digits[w], bucket_ids, side="left")
         for w in range(windows)
@@ -150,7 +156,8 @@ def host_bucket_plan(scalars_np: np.ndarray, c: int, signed: bool = False):
         for w in range(windows)
     ]).astype(np.int32)
     counts = (ends - starts).astype(np.int32)
-    counts[:, 0] = 0  # digit 0 contributes nothing
+    if not signed:
+        counts[:, 0] = 0  # digit 0 contributes nothing
     if signed:
         # pack each point's per-window digit sign into bit 31 of its order
         # entry; consumers that understand signed plans (msm_pallas
@@ -360,6 +367,15 @@ def msm_staged_split(points, scalars, c: int = 8, trips: int = 256,
             acc = mp.msm_accumulate_pallas(points, order_np, starts_np,
                                            counts_np, weights,
                                            trips_cap=cap, signed=signed)
+            if signed:
+                # shifted slot layout (slot s = magnitude s+1): prepend an
+                # identity column so the reduce's sum_b b*S_b weights slot
+                # s as s+1
+                ident = _varying_identity(acc[0], (acc[0].limbs.shape[0], 1))
+                acc = tuple(
+                    fr.RR(jnp.concatenate([ic.limbs, comp.limbs], axis=1),
+                          comp.bound)
+                    for ic, comp in zip(ident, acc))
             totals = bucket_reduce_logdepth(acc, c=c)
         return combine_rows_host(totals, weights, c)
     max_load = int(counts_np.max()) if counts_np.size else 0

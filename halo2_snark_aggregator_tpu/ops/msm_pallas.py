@@ -283,11 +283,13 @@ def _accum_kernel(t0_ref, px_ref, py_ref, cnt_ref,
 
 
 def _make_reduce_kernel(nbuckets: int):
-    """Suffix bucket reduction, serial in VMEM: for b = nbuckets-1 .. 1
-    (bucket 0 never contributes): running += S_b; total += running. The
-    result total = sum_b b * S_b. Grid (row blocks, nbuckets-1) with the
-    bucket index REVERSED in the block index map; both accumulators stay
-    VMEM-resident across the whole bucket sweep."""
+    """Suffix bucket reduction, serial in VMEM: for each swept bucket b
+    (high to low): running += S_b; total += running. Sweeping b =
+    nbuckets-1 .. 1 yields total = sum_b b * S_b (unsigned plans: bucket 0
+    never contributes); sweeping down to 0 (include_zero grid) yields
+    sum_s (s+1) * S_s — the shifted signed-digit slot weighting. Grid
+    (row blocks, sweep steps) with the bucket index REVERSED in the block
+    index map; both accumulators stay VMEM-resident across the sweep."""
 
     def kernel(bx_ref, by_ref, bz_ref,
                rx_ref, ry_ref, rz_ref, tx_ref, ty_ref, tz_ref):
@@ -322,16 +324,19 @@ def _make_reduce_kernel(nbuckets: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("nbuckets", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("nbuckets", "interpret", "include_zero"))
 def reduce_buckets_pallas(bkt_x, bkt_y, bkt_z, nbuckets: int,
-                          interpret: bool = False):
-    """Per-row totals sum_b b*S_b via the serial VMEM sweep.
+                          interpret: bool = False,
+                          include_zero: bool = False):
+    """Per-row totals sum_b b*S_b (or sum_s (s+1)*S_s with include_zero,
+    for shifted signed-digit plans) via the serial VMEM sweep.
 
     bkt_*: uint32[nbuckets * nbr * 128, LANE] — bucket b's row-block i at
     block row (b * nbr + i); returns three (nbr * 128, LANE) totals."""
     vrows = LIMBS * SUB
     nbr = bkt_x.shape[0] // (nbuckets * vrows)
-    grid = (nbr, nbuckets - 1)
+    grid = (nbr, nbuckets if include_zero else nbuckets - 1)
     b_spec = pl.BlockSpec(
         (vrows, LANE), lambda i, t: ((nbuckets - 1 - t) * nbr + i, 0),
         memory_space=pltpu.VMEM)
@@ -586,7 +591,8 @@ def msm_totals_pallas(points, order_np, starts_np, counts_np, weights,
         blocks.append(_tile_value(v).reshape(-1, LANE))  # (B*nbr*128, LANE)
     tx_, ty_, tz_ = reduce_buckets_pallas(
         *blocks, nbuckets=nbuckets,
-        interpret=(not _on_tpu()) if interpret is None else interpret)
+        interpret=(not _on_tpu()) if interpret is None else interpret,
+        include_zero=signed)
     return rr_from_acc(
         tuple(_untile_value(t, r_pad)[:, :rows] for t in (tx_, ty_, tz_)),
         (rows,))

@@ -386,7 +386,7 @@ class BatchedVerifier:
         """(windows, nbuckets, padded point count) of the phase-B MSMs."""
         windows = -(-ff.R.bit_length() // self.msm_window)
         if self._signed_plan():
-            return windows, (1 << (self.msm_window - 1)) + 1
+            return windows, 1 << (self.msm_window - 1)  # shifted slots
         return windows, 1 << self.msm_window
 
     @staticmethod

@@ -219,7 +219,7 @@ def test_signed_plan_reconstructs_msm():
     order, starts, counts, weights = msm_mod.host_bucket_plan_split(
         sn, c, 4, signed=True)
     rows, nbuckets = counts.shape
-    assert nbuckets == (1 << (c - 1)) + 1
+    assert nbuckets == 1 << (c - 1)  # shifted slots: slot s = magnitude s+1
     total = None
     for r in range(rows):
         w = int(weights[r])
@@ -235,7 +235,7 @@ def test_signed_plan_reconstructs_msm():
                     p = (p[0], (-p[1]) % ff.P)
                 s_b = ff.g1_add(s_b, p)
             if s_b is not None:
-                for _ in range(b):
+                for _ in range(b + 1):  # slot s carries magnitude s+1
                     row_sum = ff.g1_add(row_sum, s_b)
         if row_sum is not None:
             for _ in range(c * w):
