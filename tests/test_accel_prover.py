@@ -163,3 +163,25 @@ def test_accel_proof_device_commits_bit_exact():
     accel_proof = accel.create_proof_accel(
         apk, aparams, [c], [insts], PoseidonWrite(), seed=2)
     assert accel_proof == host_proof
+
+
+def test_g_host_points_reconstruction():
+    """AccelParams.g_host_points reconstructs the affine SRS from the
+    PROJECTIVE device triple (z != 1 after fixed_base_msm's add tree):
+    anchor g[0] == G1 generator, all points on-curve, and a host commit
+    matches the oracle MSM over the reconstructed basis."""
+    import random
+
+    from halo2_snark_aggregator_tpu.ff import bn254 as ff
+    from halo2_snark_aggregator_tpu.prover import accel as A
+    from halo2_snark_aggregator_tpu.prover.srs import setup_cached_accel
+
+    p = setup_cached_accel(6)
+    g = p.g_host_points()
+    assert g[0] == ff.G1_GEN
+    for x, y in g[:8]:
+        assert (y * y - x * x * x - 3) % ff.P == 0
+    rng = random.Random(9)
+    vals = [rng.randrange(ff.R) for _ in range(40)]
+    got = p.commit_coeff_mont(A.ints_to_mont(vals))
+    assert got == ff.g1_msm(g[:40], vals)
