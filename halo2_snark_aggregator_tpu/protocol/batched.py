@@ -307,14 +307,29 @@ class BatchedVerifier:
                 B, len(poss), fr.NLIMBS)
             out[:, poss] = blk
 
-        # instance scalars + instance commitments (few entries; host ints)
+        # instance scalars + instance commitments (few entries; host ints).
+        # Commit cache: profiled at 0.5 s/pass without it — batch-32 lanes
+        # share few distinct instance columns (dup-tiled benches: 4), and
+        # the python MSM pays ~15 ms per single-point commit
+        commit_cache = getattr(self, "_commit_cache", None)
+        if commit_cache is None:
+            commit_cache = self._commit_cache = {}
         commits_per_lane = []
         for b, instances in enumerate(instances_per_lane):
-            commits = [
-                ff.g1_msm(self.params.g_lagrange[: len(col)], col) if col
-                else None
-                for col in instances
-            ]
+            commits = []
+            for col in instances:
+                if not col:
+                    commits.append(None)
+                    continue
+                key = tuple(col)
+                if key not in commit_cache:
+                    if len(col) == 1:
+                        commit_cache[key] = ff.g1_mul(
+                            self.params.g_lagrange[0], col[0] % ff.R)
+                    else:
+                        commit_cache[key] = ff.g1_msm(
+                            self.params.g_lagrange[: len(col)], col)
+                commits.append(commit_cache[key])
             commits_per_lane.append(commits)
             for pos, (col, i) in zip(man["inst_pos"], man["inst_ref"]):
                 out[b, pos] = np.frombuffer(

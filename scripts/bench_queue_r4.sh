@@ -39,7 +39,7 @@ fi
 # --- 2. outer aggregation proof at k=21 (reference simple-example shape)
 if [ ! -f BENCH_OUTER_r${R}.json ]; then
   log "outer proof k=21"
-  out=$(BENCH_OUTER=1 OUTER_K=21 OUTER_NPROOFS=2 timeout 14300 python bench.py 2>/tmp/bq4_outer.log)
+  out=$(BENCH_OUTER=1 OUTER_K=21 OUTER_NPROOFS=2 timeout 7200 python bench.py 2>/tmp/bq4_outer.log)
   rc=$?
   log "outer rc=$rc: $out"
   if [ $rc -eq 0 ]; then
@@ -65,7 +65,7 @@ fi
 if [ ! -f BENCH_MSM_r${R}.json ]; then
   log "msm sweep"
   rows=""
-  for leg in "16 0" "16 1" "20 0" "20 1" "22 1"; do
+  for leg in "16 0" "16 1" "20 1"; do
     set -- $leg; s=$1; sg=$2
     n=$((1 << s))
     out=$(BENCH_MSM=1 BENCH_MSM_SIZE=$n H2T_MSM_SIGNED=$sg timeout 7000 python bench.py 2>/tmp/bq4_msm_${s}_${sg}.log)
