@@ -667,8 +667,8 @@ def create_proof_accel(
             for j, col in enumerate(chunk):
                 v = col_rows_dev(col, p)
                 sigma = apk.sigmas_lagrange[chunk_idx + j]
-                do = fo.mont_mul(
-                    FR16, omega_pows,
+                do = m_mul(
+                    omega_pows,
                     _bcast(mont_scalar(pow(FR_DELTA, chunk_idx + j, R)), n))
                 num = m_mul(num, fo.add(
                     FR16, v, m_add(m_mul(beta_b, do), gamma_b)))
@@ -819,8 +819,7 @@ def create_proof_accel(
         # w(omega^i) = (q(omega^i) - q(z)) / (omega^i - z)
         q_evals = _ntt(q, k)
         den = m_sub(omega_pows, _bcast(mont_scalar(z), n))
-        w_lag = fo.mont_mul(
-            FR16,
+        w_lag = m_mul(
             m_sub(q_evals, _bcast(mont_scalar(qz), n)),
             _batch_inv(den))
         w_coeff = _intt(w_lag, k)
@@ -967,8 +966,8 @@ def _compute_h_sharded(
                         sigma_e = ext(apk.sigmas_coeff[chunk_start + j])
                         left = m_mul(left, fo.add(
                             FR16, vp, m_add(m_mul(beta_b, sigma_e), gamma_b)))
-                        dx = fo.mont_mul(
-                            FR16, omega_do,
+                        dx = m_mul(
+                            omega_do,
                             _bcast(mont_scalar(beta * delta_pow % R), n))
                         right = m_mul(right,
                                             m_add(vp, m_add(dx, gamma_b)))
@@ -992,15 +991,15 @@ def _compute_h_sharded(
                 fold(m_mul(l0_e, m_sub(one_b, zc_e)))
                 fold(m_mul(ll_e,
                                  m_sub(m_mul(zc_e, zc_e), zc_e)))
-                left = m_mul(z_next, fo.mont_mul(
-                    FR16, m_add(ac_e, beta_b), m_add(sc_e, gamma_b)))
-                right = m_mul(zc_e, fo.mont_mul(
-                    FR16, m_add(input_e, beta_b), m_add(table_e, gamma_b)))
+                left = m_mul(z_next, m_mul(
+                    m_add(ac_e, beta_b), m_add(sc_e, gamma_b)))
+                right = m_mul(zc_e, m_mul(
+                    m_add(input_e, beta_b), m_add(table_e, gamma_b)))
                 fold(m_mul(m_sub(left, right), active))
                 a_minus_s = m_sub(ac_e, sc_e)
                 fold(m_mul(l0_e, a_minus_s))
-                fold(m_mul(fo.mont_mul(
-                    FR16, a_minus_s, m_sub(ac_e, a_prev)), active))
+                fold(m_mul(m_mul(
+                    a_minus_s, m_sub(ac_e, a_prev)), active))
 
         # divide by the vanishing constant zeta^n * w_ext^{sn} - 1
         log.info("accel prove: quotient shard %d/%d evaluated", s + 1, ratio)
