@@ -299,7 +299,13 @@ class AccelParams:
         # most digits pile into a few buckets — the round-3 driver bench
         # burned its window exactly here, in keygen's fixed-column commits).
         # Prover commits are not the benched metric; robustness wins.
-        max_k = int(os.environ.get("H2T_COMMIT_HOST_MAX_K", "17"))
+        # 22 covers the aggregator outer-proof sizes: measured ~0.6 s/2^16
+        # commit scaling ~linearly (=> ~20 s at 2^21) vs ~40 s/commit on
+        # the device path at k=21 — AND the round-4 k=21 outer run emitted
+        # structurally invalid commitment points through the Pallas-accum
+        # device commits (all 54 proof points off-curve; open bug, see
+        # CLAUDE.md round-4 notes). Host commits are oracle-exact.
+        max_k = int(os.environ.get("H2T_COMMIT_HOST_MAX_K", "22"))
         if self.k <= max_k and (self.host is not None
                                 or self.g_dev is not None):
             from .. import native
@@ -335,7 +341,12 @@ class AccelParams:
         # the TOP window of 254-bit scalars (6 meaningful bits -> ~n/64 max
         # bucket load, ~8x the uniform-window load at k=21); the split plan
         # bounds every row's depth to `target` (host-finished combine)
-        return msm_ops.msm_staged_split(self.g_dev, scalars, c=8)
+        # pin the XLA pregather accumulate: the Pallas accum at large-k
+        # commit shapes produced off-curve points in the round-4 k=21 outer
+        # run (unreproduced at bench shapes; open), and 'pre' is the
+        # fixture-validated prover path
+        return msm_ops.msm_staged_split(self.g_dev, scalars, c=8,
+                                        accum="pre")
 
     def commit_lagrange_ints(self, values: list[int]):
         """Small commit in the Lagrange basis (instance columns)."""
