@@ -239,6 +239,14 @@ def compile_tape(tape: Tape, batch: int):
         slots, _ = jax.lax.scan(body, slots, xs)
         return slots
 
+    # Timing-only ablation (H2T_TAPE_SKIP=poseidon|ops|inv): skip that
+    # segment kind entirely so an A/B pair of phase-A runs attributes the
+    # wall time between the sponge chain and the levelized scalar scans.
+    # Results are WRONG with the flag set — never enable outside profiling.
+    import os
+
+    skip_kind = os.environ.get("H2T_TAPE_SKIP", "")
+
     def run(inputs):
         n = max(tape.n_slots, 1)
         slots = jnp.zeros((n, batch, fr.NLIMBS), dtype=jnp.int32)
@@ -251,6 +259,8 @@ def compile_tape(tape: Tape, batch: int):
         if len(input_idx):
             slots = slots.at[jnp.asarray(input_idx)].set(inputs)
         for kind, plan in seg_plans:
+            if kind == skip_kind:
+                continue
             if kind == "ops":
                 slots = _seg_ops(slots, plan)
             elif kind == "inv":

@@ -327,12 +327,19 @@ def msm_staged_split(points, scalars, c: int = 8, trips: int = 256,
         except Exception:
             on_tpu = False
         accum = "pallas" if on_tpu else "pre"
+    signed_explicit = signed is not None
     if signed is None:
         env_signed = os.environ.get("H2T_MSM_SIGNED")
         signed = bool(int(env_signed)) if env_signed else False
     if signed and accum != "pallas":
         # only the Pallas pregather decodes the bit-31 sign packing; the
         # XLA accum paths would gather garbage indices
+        if signed_explicit:
+            # say so, or an A/B leg labeled 'signed' silently measures the
+            # unsigned path (same label-lies hazard as the rows-cap raise)
+            print(f"msm: signed=True dropped (accum={accum!r} cannot decode "
+                  f"the sign packing; only accum='pallas' can)",
+                  file=sys.stderr)
         signed = False
     order_np, starts_np, counts_np, weights = host_bucket_plan_split(
         np.asarray(scalars), c, target, signed=signed)

@@ -314,6 +314,12 @@ class BatchedVerifier:
         commit_cache = getattr(self, "_commit_cache", None)
         if commit_cache is None:
             commit_cache = self._commit_cache = {}
+        elif len(commit_cache) > 4096:
+            # bound it: a long-lived verifier fed unique instances per batch
+            # would otherwise grow the cache without ever hitting; clearing
+            # costs the dup-tiled benches nothing (they re-insert their few
+            # distinct columns on the next pass)
+            commit_cache.clear()
         commits_per_lane = []
         for b, instances in enumerate(instances_per_lane):
             commits = []
@@ -467,7 +473,7 @@ class BatchedVerifier:
         return msm_impl
 
     def _pallas_shapes(self):
-        """(windows, nbuckets, padded point count) of the phase-B MSMs."""
+        """(windows, nbuckets) of the phase-B MSM bucket plans."""
         windows = -(-ff.R.bit_length() // self.msm_window)
         if self._signed_plan():
             return windows, 1 << (self.msm_window - 1)  # shifted slots
@@ -679,6 +685,16 @@ class BatchedVerifier:
                 pt = self._combine_sharded_windows(totals)
             else:
                 pt = msm_mod.combine_windows_host(totals, self.msm_window)
+            # Cheap kernel-health gate (two host curve evals per pass): the
+            # pairing check fails CLOSED on a miscompiled MSM variant, which
+            # is indistinguishable from a bad proof. An off-curve total can
+            # only come from broken device arithmetic — never from adversarial
+            # proof data (every input point is curve-checked at decompress) —
+            # so raise a distinct error naming the kernel path instead.
+            if pt is not None and not ff.g1_is_on_curve(pt):
+                raise RuntimeError(
+                    f"phase-B MSM total is off-curve: msm_impl="
+                    f"{self.msm_impl!r} kernel bug (not a proof failure)")
             if e16 is not None:
                 e_int = fo.std_to_ints(np.asarray(e16))[0]
                 gpt = ff.g1_mul(ff.G1_GEN, e_int) if e_int else None
