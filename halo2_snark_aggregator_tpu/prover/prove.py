@@ -368,7 +368,16 @@ def _permute_pair(a_rows: list[int], s_rows: list[int]) -> tuple[list[int], list
         if i == 0 or v != a_perm[i - 1]:
             s_perm[i] = v
             if counts.get(v, 0) <= 0:
-                raise ValueError("lookup input value not present in table")
+                missing = sorted({u for u in a_rows if u not in counts})
+                raise ValueError(
+                    f"lookup input value not present in table: "
+                    f"{len(missing)} distinct missing values over "
+                    f"{usable} rows; first={hex(missing[0])} "
+                    f"({missing[0].bit_length()} bits), "
+                    f"last={hex(missing[-1])} "
+                    f"({missing[-1].bit_length()} bits); table has "
+                    f"{len(counts)} distinct values, "
+                    f"max={hex(max(counts))}")
             counts[v] -= 1
         else:
             repeated_rows.append(i)

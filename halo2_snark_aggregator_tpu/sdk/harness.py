@@ -178,9 +178,29 @@ def _prove_aggregator(agg, store: FolderStore, agg_k: int, seed: int,
     spill = agg_k >= 18  # the k=22 working set exceeds one chip's HBM
     # checkpoint the (expensive) aggregator keygen so a crashed prove phase
     # resumes without repaying it (the reference's stage-wise fs.rs story)
+    import json as _json
+
     import numpy as _np
     apk_path = store._path(f"verify_circuit_apk_k{agg_k}.npz")
-    if spill and apk_path.exists():
+    # The checkpoint's fixed/sigma columns are only valid for the EXACT
+    # aggregator shape they were keygen'd for: reusing a 2-proof checkpoint
+    # for a 1-proof run misaligns the fixed lookup selectors against the
+    # fresh advice synthesis and fails deep in the prover with an opaque
+    # "lookup input value not present in table" (round-5 bench_outer
+    # OUTER_NPROOFS footgun). Fingerprint the shape in a sidecar.
+    fp = {"n_targets": len(agg.circuits),
+          "n_proofs": [len(t.proofs) for t in agg.circuits]} \
+        if hasattr(agg, "circuits") else {}
+    fp_path = store._path(f"verify_circuit_apk_k{agg_k}.shape.json")
+    ckpt_ok = spill and apk_path.exists()
+    if ckpt_ok and fp and fp_path.exists():
+        saved = _json.loads(fp_path.read_text())
+        if saved != fp:
+            log.warning(
+                "verify_run: keygen checkpoint shape mismatch (%s vs %s); "
+                "re-running keygen", saved, fp)
+            ckpt_ok = False
+    if ckpt_ok:
         from ..prover.accel import AccelPk
         from ..prover.domain import Domain
         data = _np.load(apk_path)
@@ -198,6 +218,8 @@ def _prove_aggregator(agg, store: FolderStore, agg_k: int, seed: int,
                       fc=_np.stack(apk.fixed_coeff),
                       sl=_np.stack(apk.sigmas_lagrange),
                       sc=_np.stack(apk.sigmas_coeff))
+            if fp:
+                fp_path.write_text(_json.dumps(fp))
             log.info("verify_run: keygen checkpoint written")
     writer = PoseidonWrite() if transcript == "poseidon" else ShaWrite()
     proof = create_proof_accel(apk, aparams, [agg], [instances], writer,
