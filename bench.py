@@ -404,7 +404,11 @@ def bench_zkevm_batched():
     # tiling. ZKEVM_NPROOFS=32 ZKEVM_DUP=1 reproduces the round-2 shape.
     nproofs_env = os.environ.get("ZKEVM_NPROOFS")
     nproofs = int(nproofs_env) if nproofs_env else 4
-    params, vk, proofs = _cached_zkevm_proofs(k, nproofs)
+    # ZKEVM_GROUPS widens the synthetic toward the real EvmCircuit's shape
+    # (reference proves scroll's ~140-wide EvmCircuit at K=18,
+    # benches/zkevm_bench.rs:34): 43 groups = 131 advice columns
+    n_groups = int(os.environ.get("ZKEVM_GROUPS", "8"))
+    params, vk, proofs = _cached_zkevm_proofs(k, nproofs, n_groups=n_groups)
     # ZKEVM_DUP=d tiles the proof set d times for batch-scaling experiments
     # (every lane still runs the full per-proof work — transcript replay,
     # lambda scaling, MSM entries — so duplicated lanes measure real
@@ -432,11 +436,12 @@ def bench_zkevm_batched():
         assert ok
     dt = (time.time() - t0) / reps
     dup_note = f", {dup}x-tiled proof set" if dup > 1 else ""
+    grp_note = f", {3 * n_groups + 2} advice cols" if n_groups != 8 else ""
     return {
         "metric": "zkevm_shape_proofs_verified_per_sec",
         "value": round(nproofs / dt, 3),
-        "unit": (f"proofs/s (batched-traced zkevm-shape K={k}, batch "
-                 f"{nproofs}{dup_note}, phases A+B on {platform}, "
+        "unit": (f"proofs/s (batched-traced zkevm-shape K={k}{grp_note}, "
+                 f"batch {nproofs}{dup_note}, phases A+B on {platform}, "
                  f"incl. pairing)"),
         "vs_baseline": round(nproofs / dt / 32.0, 4),
     }

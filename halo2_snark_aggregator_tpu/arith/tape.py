@@ -154,6 +154,25 @@ class TapeFieldChip(FieldChip):
 # ---------------------------------------------------------------------------
 # Compilation: levelize op segments, build the executor
 # ---------------------------------------------------------------------------
+#
+# Two schedulers share the executor helpers:
+#
+#   * legacy (H2T_TAPE_LEGACY=1): execute segments in record order — one
+#     lax.scan per ops segment, one inline-traced permutation per poseidon
+#     call, one 254-step pow scan per inv call.  ~55 traced bodies for the
+#     verifier tape; the inv chains alone are ~2/3 of the serial mul depth
+#     (each inv is ~508 serial mont_muls, and the verifier records ~21).
+#
+#   * reordered (default): the sponge chain only ever absorbs tape INPUTS
+#     and constants (transcript reads + instance-commit coords — never a
+#     computed scalar), so every poseidon call is hoisted into ONE lax.scan
+#     over calls (verified by a closure check; falls back to legacy if a
+#     tape violates it).  The remaining scalar ops and inversions are
+#     levelized GLOBALLY by slot dependency; inversions at one level batch
+#     into a single stacked fr.inv (one 254-step pow scan for the whole
+#     group instead of one per call).  Serial depth drops ~3x and the
+#     traced-body count drops ~10x (compile time scales with it).
+# ---------------------------------------------------------------------------
 
 
 def _levelize(records: list[tuple[int, int, int, int]]):
@@ -173,6 +192,12 @@ def _levelize(records: list[tuple[int, int, int, int]]):
     levels = []
     for level in sorted(grouped):
         levels.append(grouped[level])
+    return _tables_from_level_groups(levels)
+
+
+def _tables_from_level_groups(levels: list[dict[int, list]]):
+    """Per-level {op: [(a, b, out)]} groups -> padded scan tables
+    ((tables, valid, n_levels, width), the _levelize contract)."""
     width = max(
         (len(v) for g in levels for v in g.values()), default=1
     )
@@ -190,6 +215,80 @@ def _levelize(records: list[tuple[int, int, int, int]]):
     return tables, valid, n_levels, width
 
 
+def _reordered_plan(tape: Tape):
+    """Build the reordered schedule: (poseidon scan arrays, plan) or None
+    when the tape's sponge chain reads a computed slot (closure violation —
+    legal for an exotic chip user, just not schedulable this way)."""
+    ok = set(tape.input_slots) | {s for s, _ in tape.consts}
+    for st, inp, out in tape.poseidon_calls:
+        if any(s not in ok for s in list(st) + list(inp)):
+            return None
+        ok |= set(out)
+
+    P = len(tape.poseidon_calls)
+    rate, t_width = pspec.RATE, pspec.T
+    st_idx = np.zeros((P, t_width), np.int32)
+    in_idx = np.zeros((P, rate), np.int32)
+    in_mask = np.zeros((P, rate), bool)
+    pad_oh = np.zeros((P, t_width), np.int32)
+    out_idx = np.zeros((P, t_width), np.int32)
+    for j, (st, inp, out) in enumerate(tape.poseidon_calls):
+        st_idx[j] = st
+        n = len(inp)
+        in_idx[j, :n] = inp
+        in_mask[j, :n] = True
+        if n < rate:
+            pad_oh[j, 1 + n] = 1  # sponge pad marker (absorb_chunk)
+        out_idx[j] = out
+    pose = (st_idx, in_idx, in_mask, pad_oh, out_idx) if P else None
+
+    # Global dependency levelization of scalar ops + inversions.  Record
+    # order is a valid topological order (SSA slots), so one forward pass
+    # assigns levels; inputs/consts/poseidon outputs sit at level 0.
+    level_of: dict[int, int] = {}
+
+    def lv(slot: int) -> int:
+        return level_of.get(slot, 0)
+
+    ops_by_level: dict[int, dict[int, list]] = {}
+    invs_by_level: dict[int, list] = {}
+    for seg in tape.segments():
+        if seg[0] == "ops":
+            for ri in seg[1]:
+                op, a, b, out = tape.records[ri]
+                level = max(lv(a), lv(b)) + 1
+                level_of[out] = level
+                ops_by_level.setdefault(level, {}).setdefault(
+                    op, []).append((a, b, out))
+        elif seg[0] == "inv":
+            a, out = tape.inv_calls[seg[1]]
+            level = lv(a) + 1
+            level_of[out] = level
+            invs_by_level.setdefault(level, []).append((a, out))
+
+    # Emit: runs of inv-free levels fold into one scan; each inv-bearing
+    # level batches its inversions into a single stacked fr.inv (one pow
+    # scan per GROUP).  Ops at an inv level are independent of that level's
+    # inv outputs (same level = same prerequisites), so they join the run
+    # flushed just before the inv batch.
+    plan: list = []
+    run_groups: list = []
+    for level in range(1, max([*ops_by_level, *invs_by_level], default=0) + 1):
+        if level in ops_by_level:
+            run_groups.append(ops_by_level[level])
+        if level in invs_by_level:
+            if run_groups:
+                plan.append(("ops", _tables_from_level_groups(run_groups)))
+                run_groups = []
+            pairs = invs_by_level[level]
+            plan.append(("invb", (
+                np.asarray([a for a, _ in pairs], np.int32),
+                np.asarray([o for _, o in pairs], np.int32))))
+    if run_groups:
+        plan.append(("ops", _tables_from_level_groups(run_groups)))
+    return pose, plan
+
+
 def compile_tape(tape: Tape, batch: int):
     """Returns run(inputs: int32[n_inputs, B, 32] Montgomery-RR) ->
     slots buffer int32[n_slots, B, 32] (jit-able)."""
@@ -200,15 +299,21 @@ def compile_tape(tape: Tape, batch: int):
         const_idx[i] = slot
     input_idx = np.asarray(tape.input_slots, dtype=np.int32)
 
+    import os
+
+    reordered = None
+    if not os.environ.get("H2T_TAPE_LEGACY"):
+        reordered = _reordered_plan(tape)
     seg_plans = []
-    for seg in tape.segments():
-        if seg[0] == "ops":
-            recs = [tape.records[i] for i in seg[1]]
-            seg_plans.append(("ops", _levelize(recs)))
-        elif seg[0] == "inv":
-            seg_plans.append(("inv", tape.inv_calls[seg[1]]))
-        else:
-            seg_plans.append(("poseidon", tape.poseidon_calls[seg[1]]))
+    if reordered is None:
+        for seg in tape.segments():
+            if seg[0] == "ops":
+                recs = [tape.records[i] for i in seg[1]]
+                seg_plans.append(("ops", _levelize(recs)))
+            elif seg[0] == "inv":
+                seg_plans.append(("inv", tape.inv_calls[seg[1]]))
+            else:
+                seg_plans.append(("poseidon", tape.poseidon_calls[seg[1]]))
 
     BOUND = fr.MUL_INPUT_BOUND
 
@@ -243,9 +348,32 @@ def compile_tape(tape: Tape, batch: int):
     # segment kind entirely so an A/B pair of phase-A runs attributes the
     # wall time between the sponge chain and the levelized scalar scans.
     # Results are WRONG with the flag set — never enable outside profiling.
-    import os
-
     skip_kind = os.environ.get("H2T_TAPE_SKIP", "")
+
+    def _pose_scan(slots, pose):
+        """All sponge permutations as ONE scan over calls: per step, gather
+        the 9 state + up-to-8 input slots, add inputs (and the sponge pad
+        marker) into state[1..], permute, scatter the 9 outputs.  Value-
+        identical to per-call absorb_chunk (adds are plain limb adds; the
+        permutation normalizes its input either way)."""
+        one = jnp.asarray(FR.one_mont)
+
+        def body(slots, xs):
+            st_i, in_i, in_m, pad_o, out_i = xs
+            state_l = slots[st_i]                           # (9, B, 32)
+            ins = slots[in_i]                               # (8, B, 32)
+            ins = jnp.where(in_m[:, None, None], ins, 0)
+            add_vec = jnp.concatenate(
+                [jnp.zeros_like(ins[:1]), ins], axis=0
+            ) + pad_o[:, None, None] * one[None, None, :]
+            st = fr.RR(jnp.moveaxis(state_l + add_vec, 0, -2), BOUND + 2)
+            out = poseidon_rr.permute(st)                   # (B, 9, 32)
+            out_l = jnp.moveaxis(out.limbs, -2, 0)
+            return slots.at[out_i].set(out_l), None
+
+        xs = tuple(jnp.asarray(a) for a in pose)
+        slots, _ = jax.lax.scan(body, slots, xs)
+        return slots
 
     def run(inputs):
         n = max(tape.n_slots, 1)
@@ -258,6 +386,18 @@ def compile_tape(tape: Tape, batch: int):
         )
         if len(input_idx):
             slots = slots.at[jnp.asarray(input_idx)].set(inputs)
+        if reordered is not None:
+            pose, plan = reordered
+            if pose is not None and skip_kind != "poseidon":
+                slots = _pose_scan(slots, pose)
+            for kind, payload in plan:
+                if kind == "ops" and skip_kind != "ops":
+                    slots = _seg_ops(slots, payload)
+                elif kind == "invb" and skip_kind != "inv":
+                    a_idx, out_idx = payload
+                    out = fr.inv(FR, fr.RR(slots[jnp.asarray(a_idx)], BOUND))
+                    slots = slots.at[jnp.asarray(out_idx)].set(out.limbs)
+            return slots
         for kind, plan in seg_plans:
             if kind == skip_kind:
                 continue
