@@ -449,12 +449,25 @@ def table_from_rr(points):
     z = 0) -> (x16, y16) uint32[N, 16] canonical Montgomery affine coords.
     Identity rows become (0, 0) — they are only ever indexed masked-out
     (their scalars are 0, and digit-0 buckets are dropped by the plan)."""
-    px, py, _pz = points
-    # The repack below is only correct for byte-valued limbs. Every MSM
-    # table is built by cv.from_affine_ints -> rr_from_host, which yields
-    # canonical bytes; callers often WIDEN the static bound metadata
+    px, py, pz = points
+    # The repack below is only correct for byte-valued AFFINE limbs. Every
+    # MSM table is built by cv.from_affine_ints -> rr_from_host, which
+    # yields canonical bytes; callers often WIDEN the static bound metadata
     # (with_bound never changes values), so the bound alone can't be
-    # asserted here.
+    # asserted here. The z = 1 assumption, however, IS checkable and its
+    # silent violation was the round-4 k=21 off-curve bug (the projective
+    # device SRS fed straight into the mixed-add kernel): sample rows and
+    # fail loudly. Identity rows (z = 0) are fine — they are only ever
+    # gathered count-masked.
+    z_np = np.asarray(pz.limbs[:: max(1, pz.limbs.shape[0] // 64)])
+    one = np.asarray(fr.FQ.one_mont)
+    z_ok = ((z_np == one[None, :]).all(axis=1) | (z_np == 0).all(axis=1))
+    if not z_ok.all():
+        raise ValueError(
+            "Pallas MSM table rows are PROJECTIVE (z != 1): the affine "
+            "repack would silently corrupt the mixed add. Normalize the "
+            "table first (prover/srs._affine_rr_limbs migrates legacy "
+            "SRS caches).")
 
     def repack(rr):
         l = rr.limbs.astype(jnp.uint32)

@@ -341,12 +341,18 @@ class AccelParams:
         # the TOP window of 254-bit scalars (6 meaningful bits -> ~n/64 max
         # bucket load, ~8x the uniform-window load at k=21); the split plan
         # bounds every row's depth to `target` (host-finished combine)
-        # pin the XLA pregather accumulate: the Pallas accum at large-k
-        # commit shapes produced off-curve points in the round-4 k=21 outer
-        # run (unreproduced at bench shapes; open), and 'pre' is the
-        # fixture-validated prover path
-        return msm_ops.msm_staged_split(self.g_dev, scalars, c=8,
-                                        accum="pre")
+        # Default to the XLA pregather accumulate ('pre', the fixture-
+        # validated prover path); H2T_MSM_ACCUM overrides for A/Bs. The
+        # round-4 "Pallas commits emit off-curve points" bug is root-caused
+        # and fixed (round 5): the PROJECTIVE device SRS fed the Pallas
+        # kernel's affine table repack — the SRS is now normalized to
+        # affine at build/load (prover/srs._affine_rr_limbs) and
+        # table_from_rr fails loudly on projective rows.
+        import os as _os
+
+        return msm_ops.msm_staged_split(
+            self.g_dev, scalars, c=8,
+            accum=_os.environ.get("H2T_MSM_ACCUM") or "pre")
 
     def commit_lagrange_ints(self, values: list[int]):
         """Small commit in the Lagrange basis (instance columns)."""

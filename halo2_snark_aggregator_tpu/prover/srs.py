@@ -141,7 +141,12 @@ def unsafe_setup_accel(k: int, seed: bytes = b"halo2-snark-aggregator-tpu",
     for i in range(1, n):
         taus[i] = taus[i - 1] * tau % ff.R
     tables = _host_tables()
-    g_dev, g_host = fixed_base_msm(ints_to_std(taus), _tables_mont_limbs(tables))
+    _g_dev_proj, g_host_proj = fixed_base_msm(ints_to_std(taus),
+                                              _tables_mont_limbs(tables))
+    # normalize to affine (z = 1) before anything consumes the basis: the
+    # Pallas MSM's table repack requires affine rows (see _affine_rr_limbs)
+    g_host = _affine_rr_limbs(g_host_proj)
+    g_dev = tuple(frr.RR(np_to_dev(g_host[i]), 12) for i in range(3))
 
     # Lagrange-basis prefix for (small) instance-column commitments:
     # L_i(tau) = (omega^i / n) (tau^n - 1) / (tau - omega^i)
@@ -160,6 +165,35 @@ def unsafe_setup_accel(k: int, seed: bytes = b"halo2-snark-aggregator-tpu",
     return p
 
 
+def _affine_rr_limbs(limbs: np.ndarray) -> np.ndarray:
+    """(3, n, 32) projective Montgomery RR limbs -> same, normalized to
+    z = 1 (identity rows stay (0, 1, 0)).
+
+    Why: the Pallas MSM consumes tables through `table_from_rr`, whose
+    affine repack silently mis-reads projective rows — the round-4 k=21
+    keygen committed through exactly that path and emitted off-curve
+    points for every commitment (the fixed_base_msm add tree leaves
+    z != 1). One host batch inversion (~73 s at 2^21) at SRS build/load
+    time makes every downstream consumer's affine assumption true."""
+    host = tuple(frr.RR(np.asarray(limbs[i]), 12) for i in range(3))
+    pts = cv.to_affine_ints(host)
+    jx, jy, jz = cv.from_affine_ints(pts)
+    return np.stack([np.asarray(jx.limbs, dtype=np.int32),
+                     np.asarray(jy.limbs, dtype=np.int32),
+                     np.asarray(jz.limbs, dtype=np.int32)])
+
+
+def _is_affine_sample(limbs: np.ndarray, samples: int = 64) -> bool:
+    """True iff sampled rows all have z = Montgomery 1 or z = 0 (identity)."""
+    z = np.asarray(limbs[2])
+    n = z.shape[0]
+    idx = np.linspace(0, n - 1, min(samples, n)).astype(np.int64)
+    one = np.asarray(frr.FQ.one_mont)
+    zs = z[idx]
+    return bool(np.all((zs == one[None, :]).all(axis=1)
+                       | (zs == 0).all(axis=1)))
+
+
 def _srs_cache_path(k: int, cache_dir) -> Path:
     if cache_dir is None:
         cache_dir = Path.home() / ".cache" / "halo2_snark_aggregator_tpu"
@@ -175,6 +209,14 @@ def setup_cached_accel(k: int, cache_dir=None) -> AccelParams:
     if path.exists():
         data = np.load(path, allow_pickle=True)
         limbs = data["g_rr"]  # int32 (3, n, NLIMBS) Montgomery RR limbs
+        if not _is_affine_sample(limbs):
+            # legacy projective cache (pre round-5): migrate in place
+            import sys as _sys
+            print(f"srs: migrating projective k={k} SRS cache to affine "
+                  f"(one-time host batch inversion)", file=_sys.stderr)
+            limbs = _affine_rr_limbs(limbs)
+            np.savez(path, g_rr=limbs, g_lagrange=data["g_lagrange"],
+                     g2=data["g2"], s_g2=data["s_g2"])
         g_dev = tuple(frr.RR(np_to_dev(limbs[i]), 12) for i in range(3))
         g_lagrange = [None if r[2] == 0 else (int(r[0]), int(r[1]))
                       for r in data["g_lagrange"]]
@@ -186,7 +228,7 @@ def setup_cached_accel(k: int, cache_dir=None) -> AccelParams:
         return AccelParams(k, g_dev, g2_point(data["g2"]),
                            g2_point(data["s_g2"]), g_lagrange)
     params = unsafe_setup_accel(k)
-    g_rr = params.g_host_limbs
+    g_rr = params.g_host_limbs  # already affine (unsafe_setup_accel)
     g_lag = np.array(
         [[pt[0], pt[1], 1] if pt is not None else [0, 0, 0]
          for pt in params.g_lagrange], dtype=object)

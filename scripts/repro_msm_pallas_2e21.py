@@ -165,10 +165,41 @@ def leg_n21():
         run_case(f"n21 {name} pre", jpts, pts, scal, accum="pre")
 
 
+def leg_srs():
+    """Commit-path end-to-end: a random Montgomery coefficient vector
+    committed through AccelParams.commit_coeff_mont with the DEVICE path
+    (pallas and pre) against the host Pippenger — over the real (migrated,
+    affine) SRS cache. This is the exact round-4 poisoned path."""
+    import jax.numpy as jnp
+
+    from halo2_snark_aggregator_tpu.prover.accel import ints_to_mont
+    from halo2_snark_aggregator_tpu.prover.srs import setup_cached_accel
+
+    k = int(os.environ.get("SRS_K", "16"))
+    aparams = setup_cached_accel(k)
+    rng = random.Random(23)
+    coeffs = [rng.randrange(ff.R) for _ in range(1 << k)]
+    cm = ints_to_mont(coeffs)
+    want = ff.g1_msm(aparams.g_host_points(), coeffs)
+    for accum in ("pallas", "pre"):
+        os.environ["H2T_COMMIT_HOST_MAX_K"] = "0"  # force device commits
+        os.environ["H2T_MSM_ACCUM"] = accum
+        try:
+            t0 = time.time()
+            got = aparams.commit_coeff_mont(jnp.asarray(cm))
+            print(f"  [srs k={k} {accum}] {time.time()-t0:.1f}s",
+                  file=sys.stderr, flush=True)
+        finally:
+            os.environ.pop("H2T_COMMIT_HOST_MAX_K", None)
+            os.environ.pop("H2T_MSM_ACCUM", None)
+        check(f"srs k={k} device commit {accum}", got, want)
+
+
 if __name__ == "__main__":
     leg = sys.argv[1] if len(sys.argv) > 1 else "grid"
     print("platform:", jax.devices()[0], file=sys.stderr)
-    {"grid": leg_grid, "sweep": leg_sweep, "n21": leg_n21}[leg]()
+    {"grid": leg_grid, "sweep": leg_sweep, "n21": leg_n21,
+     "srs": leg_srs}[leg]()
     if FAILS:
         print("FAILURES:", FAILS, flush=True)
         sys.exit(1)
