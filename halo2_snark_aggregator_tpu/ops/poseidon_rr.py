@@ -80,10 +80,27 @@ def permute(state: fr.RR) -> fr.RR:
         st = _mds(fr.RR(limbs, max(st.bound, s0.bound)), mds_m)
         return stabilize(st).limbs, None
 
+    def partial_chunk(s, rc_rows):
+        # UNROLL_P partial rounds per scan step: each round's ops are tiny
+        # ((B, 9, 32) int32), so the scan is kernel-launch-bound on TPU —
+        # chunking lets XLA fuse across rounds and cuts the launch count
+        # ~UNROLL_P x (measured: the sponge chain was 58% of the batched
+        # verifier's phase A at batch 32)
+        for i in range(rc_rows.shape[0]):
+            s, _ = partial_round(s, rc_rows[i])
+        return s, None
+
+    UNROLL_P = 7  # 63 = 9 * 7 partial rounds
     limbs = stabilize(state).limbs
     rc = jnp.asarray(rc_m)
     limbs, _ = jax.lax.scan(full_round, limbs, rc[:half_f])
-    limbs, _ = jax.lax.scan(partial_round, limbs, rc[half_f : half_f + spec.R_P])
+    rc_p = rc[half_f : half_f + spec.R_P]
+    if spec.R_P % UNROLL_P == 0:
+        rc_chunks = rc_p.reshape(spec.R_P // UNROLL_P, UNROLL_P,
+                                 *rc_p.shape[1:])
+        limbs, _ = jax.lax.scan(partial_chunk, limbs, rc_chunks)
+    else:
+        limbs, _ = jax.lax.scan(partial_round, limbs, rc_p)
     limbs, _ = jax.lax.scan(full_round, limbs, rc[half_f + spec.R_P :])
     return fr.RR(limbs, LOOP_BOUND)
 
