@@ -412,10 +412,14 @@ def bench_zkevm_batched():
     # ZKEVM_DUP=d tiles the proof set d times for batch-scaling experiments
     # (every lane still runs the full per-proof work — transcript replay,
     # lambda scaling, MSM entries — so duplicated lanes measure real
-    # throughput; the unit string records the duplication). The 8x default
-    # applies only when the user set NEITHER knob (advisor r3): an explicit
-    # ZKEVM_NPROOFS=4 means a batch-4 run, not a silent batch-32 one.
-    dup = int(os.environ.get("ZKEVM_DUP", "1" if nproofs_env else "8"))
+    # throughput; the unit string records the duplication). The 32x default
+    # (batch 128) applies only when the user set NEITHER knob (advisor r3):
+    # an explicit ZKEVM_NPROOFS=4 means a batch-4 run, not a silent
+    # batch-128 one. Why 128: the sponge chain's wall time is nearly flat
+    # in batch (serial 71-round permutations; lanes ride the VPU), so
+    # throughput scales superlinearly until ~batch 128 (BENCH_SCALING_r05:
+    # 9.2 -> 13.3 -> 25.7 -> 37.1 -> 70.8 proofs/s for batch 8..128).
+    dup = int(os.environ.get("ZKEVM_DUP", "1" if nproofs_env else "32"))
     proofs = proofs * dup
     nproofs *= dup
     proof_bytes = [p for p, _ in proofs]
