@@ -366,8 +366,13 @@ def _cached_zkevm_proofs_inner(k: int, nproofs: int, n_groups: int):
             continue
         c = ZkevmShapeCircuit(k=k, seed=2 + i, n_groups=n_groups)
         t0 = time.time()
+        # spill at K>=17 with wide circuits: the quotient's per-coset
+        # extension cache holds (n,16) arrays per queried column — 131
+        # columns at K=18 exceed HBM uncapped (harness uses k>=18; the
+        # wide-groups knob lowers the threshold)
+        spill = k >= 18 or (k >= 16 and n_groups > 16)
         entry = (create_proof_accel(apk, params, [c], [c.instances()],
-                                    PoseidonWrite(), seed=i),
+                                    PoseidonWrite(), seed=i, spill=spill),
                  c.instances())
         with open(cache, "wb") as f:
             pickle.dump(entry, f)
