@@ -1,5 +1,8 @@
 #!/bin/bash
-# Round-5 recorded-bench queue. Run ONLY when the TPU is free (one process
+# Round-5 recorded-bench queue (TEMPLATE — the round-5 legs actually ran
+# ad hoc as the bug hunt unfolded; artifacts: BENCH_OUTER_r05,
+# BENCH_ZKEVM_r05, BENCH_SCALING_r05, BENCH_MSM_r05, BENCH_ZKEVM18_r05,
+# MULTICHIP_BV_r05). Run ONLY when the TPU is free (one process
 # at a time on the axon tunnel). Order: cheapest-blocking first.
 #   1. Pallas 2^21 repro (grid leg, then n21) — the round-4 off-curve bug
 #   2. headline zkevm batch-32 re-record (new tape scheduler)
